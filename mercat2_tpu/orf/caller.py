@@ -1,0 +1,122 @@
+"""ORF-calling entry point with external-tool parity and native fallback.
+
+Mirrors the reference's two callers (/root/reference/lib/mercat2_fasta.py):
+
+- engine='prodigal': uses pyrodigal when importable (same outputs as the
+  reference: .faa/.fna/.gff/.gbk, lines 202-244); otherwise the native
+  finder writes .faa/.fna/.gff with prodigal-style headers.
+- engine='fgs': pipes through a FragGeneScanRs binary when on PATH (lines
+  248-290); otherwise the native finder writes a gzipped .faa with
+  FGS-style headers (``>{seqid}_{start}_{end}_{strand}``).
+"""
+
+from __future__ import annotations
+
+import gzip
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from mercat2_tpu.io.fasta import iter_fasta_records
+from mercat2_tpu.orf.native import find_orfs
+
+__all__ = ["orf_call"]
+
+
+def orf_call(basename: str, fna_in, outpath, engine: str = "prodigal"):
+    outpath = Path(outpath)
+    outpath.mkdir(parents=True, exist_ok=True)
+    if engine == "prodigal":
+        try:
+            import pyrodigal  # noqa: F401
+
+            return _pyrodigal_call(basename, fna_in, outpath)
+        except ImportError:
+            return _native_prodigal_style(basename, fna_in, outpath)
+    if engine == "fgs":
+        if shutil.which("FragGeneScanRs"):
+            return _fgs_call(basename, fna_in, outpath)
+        return _native_fgs_style(basename, fna_in, outpath)
+    raise ValueError(f"unknown ORF engine {engine!r}")
+
+
+def _pyrodigal_call(basename, fna_in, outpath):
+    import pyrodigal
+
+    faa = Path(outpath, f"{basename}.faa")
+    fna = faa.with_suffix(".fna")
+    gff = faa.with_suffix(".gff")
+    gbk = faa.with_suffix(".gbk")
+    finder = pyrodigal.GeneFinder(meta=True)
+    with open(faa, "w") as w_faa, open(fna, "w") as w_fna, \
+            open(gff, "w") as w_gff, open(gbk, "w") as w_gbk:
+        for header, seq in iter_fasta_records(fna_in):
+            seq_id = header.split()[0] if header.split() else header
+            genes = finder.find_genes(seq)
+            genes.write_translations(w_faa, seq_id)
+            genes.write_genes(w_fna, seq_id)
+            genes.write_gff(w_gff, seq_id)
+            genes.write_genbank(w_gbk, seq_id)
+    return basename, faa
+
+
+def _fgs_call(basename, fna_in, outpath):
+    faa_out = Path(outpath, f"{basename}.faa.gz")
+    cat = ["zcat"] if str(fna_in).endswith(".gz") else ["cat"]
+    pcat = subprocess.Popen(cat + [str(fna_in)], stdout=subprocess.PIPE)
+    proc = subprocess.Popen(
+        ["FragGeneScanRs", "--complete", "-t", "complete"],
+        stdin=pcat.stdout, stdout=subprocess.PIPE, text=True,
+    )
+    with gzip.open(faa_out, "wt") as writer:
+        for line in proc.stdout:
+            writer.write(line)
+    return basename, faa_out
+
+
+def _wrap70(s: str) -> str:
+    return "\n".join(s[i : i + 70] for i in range(0, len(s), 70))
+
+
+def _native_prodigal_style(basename, fna_in, outpath):
+    faa = Path(outpath, f"{basename}.faa")
+    fna = faa.with_suffix(".fna")
+    gff = faa.with_suffix(".gff")
+    with open(faa, "w") as w_faa, open(fna, "w") as w_fna, open(gff, "w") as w_gff:
+        print("##gff-version  3", file=w_gff)
+        for header, seq in iter_fasta_records(fna_in):
+            seq_id = header.split()[0] if header.split() else header
+            sb = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+            for n, orf in enumerate(find_orfs(sb), 1):
+                strand = "+" if orf["strand"] > 0 else "-"
+                hdr = (
+                    f"{seq_id}_{n} # {orf['start']} # {orf['end']} # "
+                    f"{orf['strand']} # native_orf_finder"
+                )
+                print(f">{hdr}", file=w_faa)
+                print(_wrap70(orf["protein"].decode("latin-1")), file=w_faa)
+                lo, hi = orf["start"] - 1, orf["end"]
+                gene_nt = seq[lo:hi]
+                print(f">{hdr}", file=w_fna)
+                print(_wrap70(gene_nt), file=w_fna)
+                print(
+                    seq_id, "mercat2_tpu", "CDS", orf["start"], orf["end"],
+                    ".", strand, "0", f"ID={seq_id}_{n}",
+                    sep="\t", file=w_gff,
+                )
+    return basename, faa
+
+
+def _native_fgs_style(basename, fna_in, outpath):
+    faa_out = Path(outpath, f"{basename}.faa.gz")
+    with gzip.open(faa_out, "wt") as writer:
+        for header, seq in iter_fasta_records(fna_in):
+            seq_id = header.split()[0] if header.split() else header
+            sb = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+            for orf in find_orfs(sb):
+                strand = "+" if orf["strand"] > 0 else "-"
+                print(f">{seq_id}_{orf['start']}_{orf['end']}_{strand}", file=writer)
+                print(orf["protein"].decode("latin-1"), file=writer)
+    return basename, faa_out

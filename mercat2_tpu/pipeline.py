@@ -1,0 +1,310 @@
+"""Pipeline orchestrator: the reference's ``mercat_main`` flow, rebuilt.
+
+Stage graph (mirrors /root/reference/bin/mercat2.py:186-503):
+
+    discover inputs (by extension)            bin/mercat2.py:253-283
+      fastq  -> qc + trim + fq2fa             lib/mercat2_fasta.py:135-198
+      fna    -> clean (removeN) + stats       lib/mercat2_fasta.py:53, bin:277-281
+      faa    -> registered directly
+    chunk large files                          bin/mercat2.py:312-328
+    count per sample (device engine)           bin/mercat2.py:115-137
+    combined TSV + figures + PCA               bin/mercat2.py:141-181
+    alpha/beta diversity                       lib/mercat2_diversity.py
+    ORF calling -> protein rounds              bin/mercat2.py:368-407
+    HTML report + protein metrics              bin/mercat2.py:465-471
+
+The parallel runtime differs by design: the reference schedules every task
+on a local Ray cluster; here host-side prep (parse/clean/convert) runs in a
+thread pool while device work is dispatched asynchronously through JAX (one
+in-flight count per device stream keeps the TPU busy while the host
+prepares the next file). No Ray, no object store — arrays flow in memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+from mercat2_tpu.engine.codec import codec_for_bytes
+from mercat2_tpu.engine.counter import KmerCounter, merge_tables
+from mercat2_tpu.io.chunker import maybe_chunk
+from mercat2_tpu.io.clean import remove_n
+from mercat2_tpu.io.fasta import parse_fasta_seq
+from mercat2_tpu.io import fastq as fq_mod
+from mercat2_tpu.metrics.alpha import compute_alpha_diversity
+from mercat2_tpu.metrics.assembly import write_assembly_stats
+from mercat2_tpu.metrics.beta import compute_beta_diversity
+from mercat2_tpu.report import figures as figs
+from mercat2_tpu.report.html import write_html
+from mercat2_tpu.report.tsv import merge_tsv, merge_tsv_T, write_counts_tsv
+
+__all__ = ["PipelineConfig", "run_pipeline", "FILE_EXT_FASTQ", "FILE_EXT_NUCLEOTIDE", "FILE_EXT_PROTEIN"]
+
+FILE_EXT_FASTQ = [".fq", ".fastq", ".fq.gz", ".fastq.gz"]
+FILE_EXT_NUCLEOTIDE = [
+    ".fasta", ".fa", ".fna", ".ffn",
+    ".fasta.gz", ".fa.gz", ".fna.gz", ".ffn.gz",
+]
+FILE_EXT_PROTEIN = [".faa", ".faa.gz"]
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    kmer: int
+    input_files: list = dataclasses.field(default_factory=list)
+    input_folder: str | None = None
+    min_count: int = 10
+    num_cores: int = 0  # 0 = auto
+    chunk_size_mb: int = 100
+    output: str = "mercat_results"
+    replace: bool = False
+    lowmem: bool | None = None
+    skipclean: bool = False
+    toupper: bool = False
+    pca: bool = False
+    prodigal: bool = False  # -prod: ORF call (pyrodigal if present, else native)
+    fgs: bool = False  # -fgs: second ORF annotation round (native finder)
+    category_file: str | None = None
+    debug: bool = False
+
+
+def _file_ext(path: Path) -> str:
+    suffixes = path.suffixes
+    for i in range(len(suffixes)):
+        ext = "".join(suffixes[i:])
+        if ext in FILE_EXT_FASTQ + FILE_EXT_NUCLEOTIDE + FILE_EXT_PROTEIN:
+            return ext
+    return ""
+
+
+def _discover_inputs(cfg: PipelineConfig) -> list[Path]:
+    files = [Path(f) for f in cfg.input_files]
+    if cfg.input_folder:
+        folder = Path(cfg.input_folder).expanduser().absolute()
+        for fname in sorted(p.name for p in folder.iterdir()):
+            p = folder / fname
+            if p.is_file() and _file_ext(p):
+                files.append(p)
+    return files
+
+
+def _count_sample(basename: str, files: list, k: int, min_count: int,
+                  out_tsv_dir: Path) -> tuple[str, Path | None]:
+    """Count one sample (possibly several chunk files), write its TSV.
+
+    Reference behavior: count + min-count filter per file, merge, write
+    sorted TSV (/root/reference/bin/mercat2.py:115-137)."""
+    tables = []
+    codec = None
+    for f in files:
+        seq, rec = parse_fasta_seq(f)
+        codec = codec_for_bytes(seq, prefer=codec)
+        tables.append(KmerCounter(k, codec).count(seq, rec, min_count))
+    merged = merge_tables(tables, k)
+    if len(merged):
+        print(f"Significant k-mers: {len(merged)}")
+        return basename, write_counts_tsv(merged, basename, out_tsv_dir / f"{basename}_counts.tsv")
+    print("No significant k-mers found")
+    return basename, None
+
+
+def _create_figures(tsv_list: dict, type_string: str, out_path: Path,
+                    cfg: PipelineConfig) -> dict:
+    """combined TSVs + kmer summary + optional PCA (ref bin/mercat2.py:141-181)."""
+    print(f"\nCreating {type_string} Graphs")
+    fig_plots = {}
+    combined = out_path / f"combined_{type_string}.tsv"
+    if not combined.exists():
+        merge_tsv(tsv_list, combined)
+    combined_t = out_path / f"combined_{type_string}_T.tsv"
+    if not combined_t.exists():
+        merge_tsv_T(tsv_list, combined_t)
+    fig_plots[f"Combined {type_string} kmer Summary"] = figs.kmer_summary(combined)
+    if cfg.pca and len(tsv_list) > 3:
+        print("\nRunning PCA")
+        out_pca = out_path / f"pca_{type_string}"
+        pca3d, pca2d = figs.plot_pca(combined_t, out_pca, cfg.lowmem,
+                                     cfg.category_file, cfg.debug)
+        if pca3d:
+            fig_plots[f"{type_string} PCA 3D"] = pca3d
+        if pca2d:
+            fig_plots[f"{type_string} PCA 2D"] = pca2d
+    return fig_plots
+
+
+def run_pipeline(cfg: PipelineConfig) -> Path:
+    out = Path(cfg.output)
+    if out.exists():
+        if cfg.replace:
+            shutil.rmtree(out)
+        else:
+            raise SystemExit(
+                f"Output folder exists, please specify another folder or use "
+                f"'-replace' to override the files. '{out}'"
+            )
+    out.mkdir(parents=True, exist_ok=True)
+
+    from mercat2_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    workers = cfg.num_cores or None
+    cleanpath = out / "clean"
+    report_dir = out / "report"
+    report_dir.mkdir(parents=True, exist_ok=True)
+
+    print(f"\nStarting MerCat2-TPU with k-mer {cfg.kmer}\n")
+    print("Loading files")
+    t_start = time.perf_counter()
+
+    samples: dict[str, dict[str, list[Path]]] = {
+        "nucleotide": {}, "protein": {}, "prodigal": {}, "fgs": {}
+    }
+    gc_content: dict[str, float] = {}
+    qc_jobs = []
+
+    def load_fastq(path: Path, basename: str):
+        fq_mod.qc(path, cleanpath, basename)
+        f = path
+        if not cfg.skipclean:
+            f = fq_mod.trim(f, cleanpath, basename)
+            fq_mod.qc(f, cleanpath, basename)
+        return basename, fq_mod.fq2fa(f, cleanpath, basename)
+
+    def load_contig(path: Path, basename: str):
+        if cfg.skipclean:
+            return basename, path, None
+        cleaned, stat = remove_n(path, cleanpath, cfg.toupper)
+        return basename, cleaned, stat
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futures = []
+        for path in _discover_inputs(cfg):
+            path = Path(path).expanduser().absolute()
+            ext = _file_ext(path)
+            basename = path.name.removesuffix(ext)
+            if ext in FILE_EXT_FASTQ:
+                futures.append(("fastq", pool.submit(load_fastq, path, basename)))
+            elif ext in FILE_EXT_NUCLEOTIDE:
+                futures.append(("fna", pool.submit(load_contig, path, basename)))
+                futures.append(
+                    ("stats", pool.submit(
+                        write_assembly_stats, path, out / "stats" / f"{basename}.txt"))
+                )
+            elif ext in FILE_EXT_PROTEIN:
+                samples["protein"][basename] = [path]
+        for kind, fut in futures:
+            if kind == "fastq":
+                basename, fasta = fut.result()
+                samples["nucleotide"][basename] = [fasta]
+            elif kind == "fna":
+                basename, cleaned, stat = fut.result()
+                samples["nucleotide"][basename] = [cleaned]
+                if stat:
+                    gc_content[basename] = stat["GC Content"]
+            else:
+                fut.result()
+
+    n_files = len(samples["nucleotide"]) + len(samples["protein"])
+    print(f"Time to load {n_files} files: {round(time.perf_counter() - t_start, 2)} seconds")
+
+    fig_plots: dict = {}
+    diversity_outputs: dict[str, list[Path]] = {}
+
+    def process_round(sample_type: str, type_string: str) -> None:
+        """chunk -> count -> figures -> diversity for one sample family."""
+        group = samples[sample_type]
+        if not group:
+            return
+        if cfg.chunk_size_mb > 0:
+            dir_chunks = out / f"chunks_{sample_type}"
+            for basename, files in group.items():
+                _, chunks = maybe_chunk(basename, files[0], cfg.chunk_size_mb,
+                                        dir_chunks / basename)
+                group[basename] = chunks
+
+        print(f"Processing {type_string}")
+        out_tsv = out / (
+            "tsv_nucleotide" if sample_type == "nucleotide" else f"tsv_{sample_type}"
+        )
+        out_tsv.mkdir(parents=True, exist_ok=True)
+        t0 = time.perf_counter()
+        tsv_list: dict[str, Path] = {}
+        for basename, files in group.items():
+            name, tsv = _count_sample(basename, files, cfg.kmer, cfg.min_count, out_tsv)
+            if tsv:
+                tsv_list[name] = tsv
+        print(f"Time to count {cfg.kmer}-mers: {round(time.perf_counter() - t0, 2)} seconds")
+
+        if tsv_list:
+            fig_plots.update(_create_figures(tsv_list, type_string, out, cfg))
+            beta_dir = report_dir / (
+                "diversity" if sample_type == "nucleotide" else "beta_diversity"
+            )
+            compute_beta_diversity(
+                type_string, out / f"combined_{type_string}_T.tsv", beta_dir
+            )
+        div_dir = report_dir / "diversity"
+        div_dir.mkdir(parents=True, exist_ok=True)
+        prefix = "nucleotide" if sample_type == "nucleotide" else sample_type
+        for basename, tsv in tsv_list.items():
+            outfile = div_dir / f"{prefix}-{basename}.tsv"
+            compute_alpha_diversity(basename, tsv, outfile)
+            diversity_outputs.setdefault(basename, []).append(outfile)
+
+    # -- nucleotide round --
+    process_round("nucleotide", "Nucleotide")
+    if gc_content:
+        fig_plots["Sample GC Summary"] = figs.gc_plot_sample(gc_content)
+
+    # -- ORF calling --
+    if cfg.prodigal and samples["nucleotide"]:
+        from mercat2_tpu.orf import orf_call
+
+        print(f"\nRunning ORF caller on {len(samples['nucleotide'])} files")
+        prodpath = out / "pyrodigal"
+        for basename, files in samples["nucleotide"].items():
+            ret = orf_call(basename, files[0], prodpath, engine="prodigal")
+            if ret:
+                samples["prodigal"][ret[0]] = [ret[1]]
+    if cfg.fgs and samples["nucleotide"]:
+        from mercat2_tpu.orf import orf_call
+
+        print(f"\nRunning FGS-style ORF caller on {len(samples['nucleotide'])} files")
+        fgspath = out / "fgs"
+        for basename, files in samples["nucleotide"].items():
+            ret = orf_call(basename, files[0], fgspath, engine="fgs")
+            if ret:
+                samples["fgs"][ret[0]] = [ret[1]]
+
+    # -- protein rounds --
+    for sample_type in ("protein", "prodigal", "fgs"):
+        process_round(sample_type, sample_type)
+
+    # -- report --
+    write_html(report_dir / "report.html", fig_plots, {})
+    for sample_type in ("protein", "fgs", "prodigal"):
+        if samples[sample_type]:
+            tsv_out = report_dir / f"metrics-{sample_type}.tsv"
+            htm_out = report_dir / f"metrics-{sample_type}.html"
+            metric_figs = figs.plot_sample_metrics(samples[sample_type], tsv_out)
+            write_html(htm_out, metric_figs, {})
+
+    # -- merged per-sample diversity (ref bin/mercat2.py:479-499) --
+    print("Gathering Diversity Metrics")
+    # reference merges per *type* across samples: diversity-{type}.tsv
+    by_type: dict[str, dict[str, Path]] = {}
+    for files in diversity_outputs.values():
+        for f in files:
+            typ, _, sample = f.stem.partition("-")  # "{type}-{sample}"
+            by_type.setdefault(typ, {})[sample] = f
+    for typ, tomerge in by_type.items():
+        if len(tomerge) >= 2:
+            key = "Nucleotide" if typ == "nucleotide" else typ
+            merge_tsv(tomerge, report_dir / f"diversity-{key}.tsv")
+
+    print("\nFinished MerCat2-TPU Pipeline")
+    return out

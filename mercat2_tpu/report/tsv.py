@@ -1,0 +1,114 @@
+"""TSV emission: per-sample count tables and combined merges.
+
+Output formats are byte-compatible with the reference:
+
+- per-sample ``{base}_counts.tsv``: header ``k-mer\\t{base}_Count`` then
+  lexicographically sorted rows (/root/reference/bin/mercat2.py:130-133);
+- ``combined_{type}.tsv``: first header cell taken from the per-sample
+  header's first cell, then sorted sample names; union of k-mers ascending,
+  zeros filled (/root/reference/lib/mercat2_report.py:98-156);
+- ``combined_{type}_T.tsv``: transposed matrix. The reference's version has
+  hash-randomized column order (a Python set,
+  /root/reference/lib/mercat2_report.py:162-173); ours is deterministic
+  (sorted k-mers), which is PCA/beta-diversity-invariant and reproducible.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from mercat2_tpu.engine.counter import KmerTable
+
+__all__ = ["write_counts_tsv", "merge_tsv", "merge_tsv_T"]
+
+
+def write_counts_tsv(table: KmerTable, basename: str, out_file) -> Path | None:
+    """Write one sample's sorted count table. Returns None if empty
+    (reference skips the file entirely, /root/reference/bin/mercat2.py:128-137)."""
+    if not len(table):
+        return None
+    out_file = Path(out_file)
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    k = table.k
+    flat = table.kmers.tobytes()
+    counts = table.counts
+    with open(out_file, "wb") as w:
+        w.write(f"k-mer\t{basename}_Count\n".encode())
+        parts = []
+        for i in range(len(table)):
+            parts.append(flat[i * k : (i + 1) * k])
+            parts.append(b"\t%d\n" % counts[i])
+            if len(parts) >= 8192:
+                w.write(b"".join(parts))
+                parts = []
+        w.write(b"".join(parts))
+    return out_file
+
+
+def _iter_rows(path):
+    """Yield (kmer, count_str) rows from a per-sample counts TSV."""
+    with open(path, "rb") as f:
+        f.readline()  # header
+        for line in f:
+            cols = line.rstrip(b"\n").split(b"\t")
+            if len(cols) >= 2:
+                yield cols[0], cols[1]
+
+
+def _read_header_cell(path) -> str:
+    with open(path, "rb") as f:
+        return f.readline().split(b"\t")[0].decode()
+
+
+def merge_tsv(tsv_list: dict, out_file) -> Path:
+    """K-way merge of sorted per-sample TSVs into a combined matrix.
+
+    ``tsv_list`` maps sample name -> counts TSV path. Samples are column-
+    ordered by sorted name; missing k-mers are zero-filled. Matches the
+    reference's output (/root/reference/lib/mercat2_report.py:98-156).
+    """
+    names = sorted(tsv_list)
+    header_cell = _read_header_cell(tsv_list[names[0]])
+    iters = {n: _iter_rows(tsv_list[n]) for n in names}
+    current = {n: next(iters[n], None) for n in names}
+
+    out_file = Path(out_file)
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_file, "wb") as w:
+        w.write(("\t".join([header_cell] + names) + "\n").encode())
+        while True:
+            live = [row[0] for row in current.values() if row]
+            if not live:
+                break
+            kmer = min(live)
+            cells = [kmer]
+            for n in names:
+                row = current[n]
+                if row and row[0] == kmer:
+                    cells.append(row[1])
+                    current[n] = next(iters[n], None)
+                else:
+                    cells.append(b"0")
+            w.write(b"\t".join(cells) + b"\n")
+    return out_file
+
+
+def merge_tsv_T(tsv_list: dict, out_file) -> Path:
+    """Transposed combined matrix (samples x k-mers), deterministic columns."""
+    names = sorted(tsv_list)
+    kmers: set[bytes] = set()
+    per_sample: dict[str, dict[bytes, bytes]] = {}
+    for n in names:
+        d = dict(_iter_rows(tsv_list[n]))
+        per_sample[n] = d
+        kmers.update(d)
+    header = sorted(kmers)
+    out_file = Path(out_file)
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_file, "wb") as w:
+        w.write(b"\t".join([b"sample"] + header) + b"\n")
+        for n in names:
+            d = per_sample[n]
+            row = [n.encode()] + [d.get(km, b"0") for km in header]
+            w.write(b"\t".join(row) + b"\n")
+    return out_file

@@ -1,0 +1,130 @@
+import random
+
+import numpy as np
+import pytest
+
+from mercat2_tpu.engine.codec import codec_for_bytes
+from mercat2_tpu.engine.counter import KmerCounter, KmerTable, merge_tables
+
+from oracle import naive_kmers
+
+
+def _count(records: list[str], k: int, min_count: int = 1) -> dict[str, int]:
+    joined = "".join(r.replace("*", "") for r in records)
+    seq = np.frombuffer(joined.encode("latin-1"), np.uint8)
+    rec = np.repeat(
+        np.arange(1, len(records) + 1, dtype=np.int64),
+        [len(r.replace("*", "")) for r in records],
+    )
+    codec = codec_for_bytes(seq)
+    return KmerCounter(k, codec).count(seq, rec, min_count).to_dict()
+
+
+def test_single_record_k3():
+    got = _count(["GATTACA"], 3)
+    assert got == naive_kmers(["GATTACA"], 3)
+
+
+def test_records_do_not_bridge():
+    # windows must not span record boundaries
+    got = _count(["AAA", "AAA"], 3)
+    assert got == {"AAA": 2}
+    got = _count(["AC", "GT"], 2)
+    assert got == {"AC": 1, "GT": 1}
+
+
+def test_k_equals_1():
+    got = _count(["ACGT", "AA"], 1)
+    assert got == {"A": 3, "C": 1, "G": 1, "T": 1}
+
+
+def test_short_records_skipped():
+    got = _count(["AC", "GATTACA"], 5)
+    assert got == naive_kmers(["GATTACA"], 5)
+
+
+def test_min_count_filter():
+    recs = ["AAAAAAAAAA", "CCC"]
+    got = _count(recs, 2, min_count=5)
+    assert got == naive_kmers(recs, 2, min_count=5)
+
+
+def test_case_sensitive_and_n_kept():
+    recs = ["ACgtNNacGT"]
+    got = _count(recs, 3)
+    assert got == naive_kmers(recs, 3)
+
+
+def test_exact_fit_tiebreak_k16_dna():
+    # 16 * 2 bits == 32: the all-T 16-mer packs to the all-ones word and
+    # must not be confused with invalid windows
+    recs = ["T" * 40, "T" * 10]
+    got = _count(recs, 16)
+    assert got == naive_kmers(recs, 16)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5, 11, 16, 21, 31, 33])
+def test_random_dna_vs_oracle(k):
+    rng = random.Random(42 + k)
+    recs = [
+        "".join(rng.choice("ACGT") for _ in range(rng.randint(0, 200)))
+        for _ in range(20)
+    ]
+    assert _count(recs, k) == naive_kmers(recs, k)
+
+
+@pytest.mark.parametrize("k", [2, 3, 7])
+def test_random_protein_vs_oracle(k):
+    rng = random.Random(7 + k)
+    alphabet = "ACDEFGHIKLMNPQRSTVWYXBZ*"
+    recs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(15)
+    ]
+    assert _count(recs, k) == naive_kmers(recs, k)
+
+
+def test_weird_alphabet_lowercase_digits():
+    recs = ["acgtACGT0123acgt", "zzzyyyxxx"]
+    for k in (2, 4):
+        assert _count(recs, k) == naive_kmers(recs, k)
+
+
+def test_lexicographic_output_order():
+    rng = random.Random(1)
+    recs = ["".join(rng.choice("ACGT") for _ in range(500))]
+    table_k = KmerCounter(4, codec_for_bytes(np.frombuffer(recs[0].encode(), np.uint8)))
+    seq = np.frombuffer(recs[0].encode(), np.uint8)
+    t = table_k.count(seq, np.ones(len(seq), np.int64))
+    strings = t.kmer_strings()
+    assert strings == sorted(strings)
+
+
+def test_empty_input():
+    got = _count([], 3)
+    assert got == {}
+    got = _count([""], 3)
+    assert got == {}
+
+
+def test_merge_tables():
+    a = _count(["AAACCC"], 2)
+    b = _count(["CCCGGG"], 2)
+    ta = KmerCounter.__new__(KmerCounter)  # only need tables
+    import mercat2_tpu.engine.counter as counter_mod
+
+    t1 = _table_from_dict(a, 2)
+    t2 = _table_from_dict(b, 2)
+    merged = merge_tables([t1, t2], 2).to_dict()
+    expect = dict(a)
+    for k_, v in b.items():
+        expect[k_] = expect.get(k_, 0) + v
+    assert merged == expect
+
+
+def _table_from_dict(d: dict[str, int], k: int) -> KmerTable:
+    items = sorted(d.items())
+    if not items:
+        return KmerTable.empty(k)
+    kmers = np.frombuffer("".join(km for km, _ in items).encode("latin-1"), np.uint8)
+    return KmerTable(kmers.reshape(-1, k).copy(), np.array([c for _, c in items], np.int64))
