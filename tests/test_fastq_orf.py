@@ -1,0 +1,154 @@
+"""FASTQ handling, ORF finder, assembly stats, beta diversity."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from mercat2_tpu.io import fastq as fq
+from mercat2_tpu.metrics.assembly import assembly_stats
+from mercat2_tpu.metrics.beta import beta_distance_matrix, compute_beta_diversity
+from mercat2_tpu.orf.native import find_orfs, CODON_TABLE
+
+
+# ---- FASTQ ----
+
+def test_read_fastq(ref_data):
+    arr = fq.read_fastq(ref_data / "Test_R1.fastq")
+    assert arr.n_reads == 250
+    gz = fq.read_fastq(ref_data / "Test_R1.fastq.gz")
+    assert gz.n_reads == 250
+    assert bytes(gz.seq) == bytes(arr.seq)
+
+
+def test_fq2fa_matches_sed_semantics(tmp_path, ref_data):
+    out = fq.fq2fa(ref_data / "Test_R1.fastq", tmp_path, "t")
+    with gzip.open(out, "rt") as f:
+        lines = f.read().rstrip("\n").split("\n")
+    assert len(lines) == 500
+    assert lines[0].startswith(">")
+    assert set(lines[1]) <= set("ACGTN")
+
+
+def test_trim_filters(tmp_path):
+    src = tmp_path / "r.fastq"
+    good = "@ok\n" + "A" * 50 + "\n+\n" + "I" * 50 + "\n"
+    low_q = "@bad\n" + "A" * 50 + "\n+\n" + "#" * 50 + "\n"  # q=2 everywhere
+    many_n = "@nnn\n" + "N" * 20 + "A" * 30 + "\n+\n" + "I" * 50 + "\n"
+    short = "@short\nACGT\n+\nIIII\n"
+    src.write_text(good + low_q + many_n + short)
+    out = fq.trim(src, tmp_path / "o", "r")
+    text = out.read_text()
+    assert "@ok" in text
+    assert "@bad" not in text and "@nnn" not in text and "@short" not in text
+
+
+def test_qc_writes_report(tmp_path, ref_data):
+    html = fq.qc(ref_data / "Test_R1.fastq", tmp_path, "t")
+    assert html.exists()
+    assert "Per-position quality" in html.read_text()
+
+
+# ---- ORF finder ----
+
+def test_codon_table_length():
+    assert len(CODON_TABLE) == 64
+
+
+def test_find_simple_orf():
+    # ATG + 32 codons + stop = 102 nt >= 90
+    gene = "ATG" + "GCT" * 32 + "TAA"
+    seq = np.frombuffer(gene.encode(), np.uint8)
+    orfs = find_orfs(seq, min_nt=90)
+    fwd = [o for o in orfs if o["strand"] == 1]
+    assert len(fwd) == 1
+    o = fwd[0]
+    assert o["start"] == 1 and o["end"] == len(gene)
+    assert o["protein"] == b"M" + b"A" * 32
+
+
+def test_reverse_strand_orf():
+    gene = "ATG" + "GAA" * 40 + "TGA"
+    import re
+
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[c] for c in reversed(gene))
+    seq = np.frombuffer(rc.encode(), np.uint8)
+    orfs = [o for o in find_orfs(seq, min_nt=90) if o["strand"] == -1]
+    assert any(o["protein"] == b"M" + b"E" * 40 for o in orfs)
+
+
+def test_short_orf_filtered():
+    gene = "ATG" + "GCT" * 5 + "TAA"  # 21 nt
+    seq = np.frombuffer(gene.encode(), np.uint8)
+    assert find_orfs(seq, min_nt=90) == []
+
+
+def test_orf_with_n_bases():
+    gene = "ATG" + "GCT" * 20 + "NNN" + "GCT" * 20 + "TAA"
+    seq = np.frombuffer(gene.encode(), np.uint8)
+    orfs = [o for o in find_orfs(seq, min_nt=90) if o["strand"] == 1]
+    assert orfs and b"X" in orfs[0]["protein"]
+
+
+def test_orf_call_native(tmp_path, ref_data):
+    from mercat2_tpu.orf import orf_call
+
+    name, faa = orf_call("scaf", ref_data / "Scaffolds_with-NNN.fna",
+                         tmp_path, engine="fgs")
+    assert name == "scaf"
+    with gzip.open(faa, "rt") as f:
+        text = f.read()
+    assert text.count(">") > 10  # 1 Mbp of contigs has many ORFs
+
+
+# ---- assembly stats ----
+
+def test_assembly_stats_basic(tmp_path):
+    p = tmp_path / "x.fna"
+    p.write_text(">a\n" + "ACGC" * 50 + "\n>b\n" + "AT" * 30 + "\n")
+    text = assembly_stats(p)
+    assert "Total length of sequence:\t260 bp" in text
+    assert "Total number of contigs:\t2" in text
+    assert "N50 stats:" in text
+    assert "GC %:" in text
+    # GC: 150 G/C in record a (3 of every 4 bases), 0 in b -> 150/260
+    assert f"{100 * 150 / 260:.2f} %" in text
+
+
+# ---- beta diversity ----
+
+def test_beta_euclidean_golden(tmp_path, golden_results):
+    base = golden_results / "fna-5genomes-10"
+    golden = base / "report" / "diversity" / "euclidean-Nucleotide.tsv"
+    if not golden.exists():
+        pytest.skip("golden beta missing")
+    rows = golden.read_text().rstrip("\n").split("\n")
+    ids = rows[0].split("\t")[1:]
+    want = np.array([[float(x) for x in r.split("\t")[1:]] for r in rows[1:]])
+    # rebuild the counts matrix from the golden transposed combined file
+    src = base / "combined_Nucleotide_T.tsv"
+    data = {}
+    with open(src) as f:
+        f.readline()
+        for line in f:
+            cols = line.rstrip("\n").split("\t")
+            data[cols[0]] = [int(x) for x in cols[1:]]
+    mat = np.array([data[i] for i in ids])
+    got = beta_distance_matrix("euclidean", mat)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_beta_diversity_writes_outputs(tmp_path):
+    src = tmp_path / "T.tsv"
+    src.write_text(
+        "sample\tAA\tCC\tGG\n"
+        "s1\t1\t2\t3\n"
+        "s2\t3\t2\t1\n"
+        "s3\t0\t5\t0\n"
+    )
+    done = compute_beta_diversity("test", src, tmp_path / "beta")
+    assert "euclidean" in done and "braycurtis" in done
+    assert (tmp_path / "beta" / "euclidean-test.tsv").exists()
+    assert (tmp_path / "beta" / "euclidean-test.png").exists()
+    assert "mahalanobis" not in done  # singular for 3 samples
