@@ -1,0 +1,68 @@
+"""Headline benchmark: bases/s counting k=21 nucleotide k-mers on the
+5-genome reference set (19,448,919 bp) on one chip.
+
+Baseline: MerCat2 multiprocess CPU, k=31, 8 threads = 5.372 s for the same
+data = 3.62 Mbases/s (reference results/results_2023-11-08/results.csv:7;
+see BASELINE.md). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+DATA = Path("/root/reference/data/5-genomes-fna_gz")
+K = 21
+MIN_COUNT = 10
+BASELINE_BASES_PER_S = 19_448_919 / 5.372  # ref k=31, 8 CPU threads
+
+
+def main() -> None:
+    from mercat2_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import numpy as np
+
+    from mercat2_tpu.engine.codec import codec_for_alphabet
+    from mercat2_tpu.engine.counter import KmerCounter
+    from mercat2_tpu.io.native import open_fasta_native
+
+    files = sorted(DATA.glob("*.fna.gz"))
+    handles = [open_fasta_native(f) for f in files]
+    assert all(h is not None for h in handles), "build native/ first"
+    total_bases = sum(h.seq_len for h in handles)
+    alpha = np.zeros(0, np.uint8)
+    for h in handles:
+        alpha = np.union1d(alpha, h.alphabet())
+    counter = KmerCounter(K, codec_for_alphabet(alpha.astype(np.uint8)))
+    # one shared power-of-two bucket -> one compiled program for all files
+    bucket = 1 << max(16, (max(h.stream_len(K) for h in handles) - 1).bit_length())
+
+    def run_once() -> int:
+        n = 0
+        for h in handles:
+            n += len(counter.count_native(h, MIN_COUNT, bucket=bucket))
+        return n
+
+    run_once()  # warm: jit compile per bucket size
+    t0 = time.perf_counter()
+    n_kmers = run_once()
+    dt = time.perf_counter() - t0
+
+    bases_per_s = total_bases / dt
+    print(json.dumps({
+        "metric": "kmer_count_bases_per_s_k21_1chip",
+        "value": round(bases_per_s, 1),
+        "unit": "bases/s",
+        "vs_baseline": round(bases_per_s / BASELINE_BASES_PER_S, 2),
+    }))
+    print(f"# {total_bases} bases, {n_kmers} filtered kmers, {dt:.3f} s",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

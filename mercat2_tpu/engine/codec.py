@@ -114,13 +114,9 @@ def alphabet_of(data: np.ndarray) -> np.ndarray:
     return np.nonzero(hist)[0].astype(np.uint8)
 
 
-def codec_for_bytes(data: np.ndarray, prefer: Codec | None = None) -> Codec:
-    """Build the narrowest codec covering all bytes in `data`.
-
-    If `prefer` is given and covers the data, it is returned unchanged (so
-    chunks of one sample can share a codec and merge numerically).
-    """
-    present = alphabet_of(data)
+def codec_for_alphabet(present: np.ndarray, prefer: Codec | None = None) -> Codec:
+    """Narrowest codec covering the given sorted uint8 alphabet."""
+    present = np.asarray(present, dtype=np.uint8)
     if prefer is not None and (present.size == 0 or prefer.covers(present)):
         return prefer
     if present.size == 0:
@@ -128,3 +124,12 @@ def codec_for_bytes(data: np.ndarray, prefer: Codec | None = None) -> Codec:
     size = int(present.size)
     bits = max(1, int(np.ceil(np.log2(size))))
     return Codec(present, bits)
+
+
+def codec_for_bytes(data: np.ndarray, prefer: Codec | None = None) -> Codec:
+    """Build the narrowest codec covering all bytes in `data`.
+
+    If `prefer` is given and covers the data, it is returned unchanged (so
+    chunks of one sample can share a codec and merge numerically).
+    """
+    return codec_for_alphabet(alphabet_of(data), prefer)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from mercat2_tpu.engine.codec import Codec, codec_for_bytes
-from mercat2_tpu.ops.kmer_pack import sorted_kmer_keys, key_words_for
+from mercat2_tpu.ops.kmer_pack import key_words_for
 
 __all__ = ["KmerTable", "KmerCounter", "count_file", "count_files_merged"]
 
@@ -33,6 +33,14 @@ _MIN_BUCKET = 1 << 16
 #: The device pack loop unrolls k iterations; beyond this we take an exact
 #: host (numpy) path instead of compiling a pathological kernel.
 _MAX_DEVICE_K = 128
+
+#: Use the dense-histogram path when the full keyspace S**k has at most
+#: this many bins (4 MB of int32): no sort, tiny d2h transfer.
+_DENSE_MAX_BINS = 1 << 20
+
+#: Default output capacity of the compacted device table when a min-count
+#: filter is active (rows; 12-16 bytes each over the wire).
+_DEFAULT_CAP = 1 << 18
 
 
 def _bucket_size(n: int) -> int:
@@ -149,7 +157,9 @@ class KmerCounter:
 
     Sharing one counter across the chunks of a sample keeps the codec (and
     therefore the compiled kernel) stable, so numeric keys from different
-    chunks are directly comparable/mergeable.
+    chunks are directly comparable/mergeable. Passing a shared ``bucket``
+    (power-of-two stream size covering the largest file of a batch) keeps
+    the whole batch on ONE compiled program.
     """
 
     def __init__(self, k: int, codec: Codec):
@@ -160,11 +170,24 @@ class KmerCounter:
 
     # -- stream building ---------------------------------------------------
 
-    def build_stream(self, seq: np.ndarray, rec: np.ndarray) -> np.ndarray:
+    def stream_len(self, seq: np.ndarray, rec: np.ndarray) -> int:
+        """Unpadded length of the separator-delimited code stream."""
+        n = seq.shape[0]
+        if n == 0:
+            return 0
+        gap = self.k - 1
+        rel = int(rec[-1]) - int(rec[0])
+        return n + rel * gap
+
+    def build_stream(
+        self, seq: np.ndarray, rec: np.ndarray, bucket: int | None = None
+    ) -> np.ndarray:
         """Sequence bytes + record ids -> padded uint8 code stream.
 
         Consecutive records are separated by k-1 sentinel codes so no window
-        spans a record boundary; the tail is sentinel-padded to the bucket.
+        spans a record boundary; the tail is sentinel-padded to the bucket
+        (``bucket`` may force a larger size to share one compiled shape
+        across files).
         """
         codes = self.codec.encode(seq)
         gap = self.k - 1
@@ -179,7 +202,10 @@ class KmerCounter:
             rel = (rec - rec[0]).astype(np.int64)
             pos = np.arange(n, dtype=np.int64) + rel * gap
             total = int(pos[-1]) + 1
-        padded = np.full(_bucket_size(max(total, self.k)), self.codec.sentinel, np.uint8)
+        size = _bucket_size(max(total, self.k))
+        if bucket is not None:
+            size = max(size, bucket)
+        padded = np.full(size, self.codec.sentinel, np.uint8)
         if n:
             if gap == 0:
                 padded[:n] = codes
@@ -189,32 +215,93 @@ class KmerCounter:
 
     # -- device + finalize -------------------------------------------------
 
-    def count_stream(self, stream: np.ndarray, min_count: int = 1) -> KmerTable:
-        words, n_valid = sorted_kmer_keys(
-            jnp.asarray(stream), k=self.k, bits=self.codec.bits,
-            alphabet_size=self.codec.size,
+    def _count_dense(self, stream: np.ndarray, min_count: int) -> KmerTable:
+        from mercat2_tpu.ops.finalize import dense_count_device
+
+        hist = np.asarray(
+            dense_count_device(
+                jnp.asarray(stream), k=self.k, alphabet_size=self.codec.size
+            )
         )
-        n_valid = int(n_valid)
-        total_words, tiebreak = key_words_for(self.k, self.codec.bits)
-        payload_words = total_words - int(tiebreak)
-        cols = [np.asarray(w[:n_valid]) for w in words[:payload_words]]
-        starts, counts = _rle(cols)
-        if min_count > 1:
-            keep = counts >= min_count
-            starts, counts = starts[keep], counts[keep]
-        if starts.size == 0:
+        idx = np.flatnonzero(hist >= max(min_count, 1))
+        if idx.size == 0:
             return KmerTable.empty(self.k)
-        packed = np.stack([c[starts] for c in cols], axis=1)
+        counts = hist[idx].astype(np.int64)
+        # decode base-S bin index -> symbol bytes (bin order == lex order)
+        digits = np.empty((idx.size, self.k), dtype=np.int64)
+        rem = idx.astype(np.int64)
+        for j in range(self.k - 1, -1, -1):
+            digits[:, j] = rem % self.codec.size
+            rem //= self.codec.size
+        return KmerTable(self.codec.symbols[digits], counts)
+
+    def _count_sorted(self, stream: np.ndarray, min_count: int) -> KmerTable:
+        from mercat2_tpu.ops.finalize import count_kmers_device
+
+        p = stream.shape[0] - self.k + 1
+        cap = p if min_count <= 1 else min(p, _DEFAULT_CAP)
+        while True:
+            words, counts, n_out = count_kmers_device(
+                jnp.asarray(stream),
+                jnp.int32(min_count),
+                k=self.k,
+                bits=self.codec.bits,
+                alphabet_size=self.codec.size,
+                cap=cap,
+            )
+            n_out = int(n_out)
+            if n_out <= cap:
+                break
+            cap = _bucket_size(n_out)  # overflow: retry with room (rare)
+        if n_out == 0:
+            return KmerTable.empty(self.k)
+        cols = [np.asarray(w[:n_out]) for w in words]
+        counts = np.asarray(counts[:n_out]).astype(np.int64)
+        packed = np.stack(cols, axis=1)
         kmers = _decode_payload(packed, self.k, self.codec.bits, self.codec)
         return KmerTable(kmers, counts)
 
-    def count(self, seq: np.ndarray, rec: np.ndarray, min_count: int = 1) -> KmerTable:
+    def count_stream(self, stream: np.ndarray, min_count: int = 1) -> KmerTable:
+        if self.codec.size**self.k <= _DENSE_MAX_BINS:
+            return self._count_dense(stream, min_count)
+        return self._count_sorted(stream, min_count)
+
+    def count(
+        self,
+        seq: np.ndarray,
+        rec: np.ndarray,
+        min_count: int = 1,
+        bucket: int | None = None,
+    ) -> KmerTable:
         seq, rec = _drop_short_records(seq, rec, self.k)
         if seq.shape[0] < self.k:
             return KmerTable.empty(self.k)
         if self.k > _MAX_DEVICE_K:
             return _count_host(seq, rec, self.k, min_count)
-        return self.count_stream(self.build_stream(seq, rec), min_count)
+        return self.count_stream(self.build_stream(seq, rec, bucket), min_count)
+
+    def count_native(self, nf, min_count: int = 1,
+                     bucket: int | None = None) -> KmerTable:
+        """Count from a native parse handle (io.native.NativeFasta).
+
+        The C++ side encodes + gap-inserts directly into the padded stream
+        buffer — no per-byte record-id array is ever materialized. Records
+        shorter than k are kept (their windows are masked by the sentinel
+        gaps), so results match :meth:`count` exactly.
+        """
+        total = nf.stream_len(self.k)
+        if total < self.k:
+            return KmerTable.empty(self.k)
+        if self.k > _MAX_DEVICE_K:
+            seq, rec = nf.seq_and_rec()
+            seq, rec = _drop_short_records(seq, rec, self.k)
+            return _count_host(seq, rec, self.k, min_count)
+        size = _bucket_size(total)
+        if bucket is not None:
+            size = max(size, bucket)
+        stream = np.full(size, self.codec.sentinel, np.uint8)
+        nf.fill_stream(self.k, self.codec.lut_encode(), stream)
+        return self.count_stream(stream, min_count)
 
 
 def count_file(path, k: int, min_count: int = 1, codec: Codec | None = None) -> KmerTable:
@@ -222,8 +309,21 @@ def count_file(path, k: int, min_count: int = 1, codec: Codec | None = None) -> 
 
     Matches the reference's ``find_kmers`` semantics
     (/root/reference/lib/mercat2_kmers.py:32-78): raw case-sensitive k-mers,
-    ``*`` stripped, per-record windows, filter applied per file.
+    ``*`` stripped, per-record windows, filter applied per file. Uses the
+    native C++ parse+encode path when built.
     """
+    from mercat2_tpu.engine.codec import codec_for_alphabet
+    from mercat2_tpu.io.native import open_fasta_native
+
+    try:
+        nf = open_fasta_native(path)
+    except OSError:
+        nf = None
+    if nf is not None:
+        with nf:
+            codec = codec_for_alphabet(nf.alphabet(), prefer=codec)
+            return KmerCounter(k, codec).count_native(nf, min_count)
+
     from mercat2_tpu.io.fasta import parse_fasta_seq
 
     seq, rec = parse_fasta_seq(path)

@@ -59,3 +59,29 @@ def maybe_chunk(name: str, filename, chunk_size_mb: int, outpath) -> tuple[str, 
         chunks = chunk_file(filename, outpath, chunk_size_mb * 1024 * 1024)
         return name, sorted(chunks)
     return name, [filename]
+
+
+def _main(argv=None) -> int:
+    """Standalone CLI, mirroring the reference Chunker's own entry point
+    (/root/reference/lib/mercat2_Chunker.py:142-159)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="mercat2-tpu-chunker",
+                                description="Split FASTA/FASTQ into chunks "
+                                "at record boundaries")
+    p.add_argument("file", help="input file (.gz ok)")
+    p.add_argument("outdir", help="output directory")
+    p.add_argument("-s", "--size-mb", type=int, default=100,
+                   help="target chunk size in MB [100]")
+    p.add_argument("-d", "--delim", default=">",
+                   help="record delimiter ['>'; use '@' for FASTQ]")
+    args = p.parse_args(argv)
+    files = chunk_file(args.file, args.outdir,
+                       args.size_mb * 1024 * 1024, args.delim)
+    for f in files:
+        print(f)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

@@ -42,7 +42,20 @@ def read_file_bytes(path) -> bytes:
 
 
 def parse_fasta_seq(path) -> tuple[np.ndarray, np.ndarray]:
-    """Parse a FASTA file into (seq uint8[N], rec int64[N])."""
+    """Parse a FASTA file into (seq uint8[N], rec int64[N]).
+
+    Uses the native C++ single-pass parser when built (native/, via
+    mercat2_tpu.io.native); falls back to the vectorized numpy path.
+    Both produce identical output (tests/test_native.py).
+    """
+    from mercat2_tpu.io.native import parse_fasta_native
+
+    try:
+        out = parse_fasta_native(path)
+    except OSError:
+        out = None
+    if out is not None:
+        return out
     return parse_fasta_seq_bytes(read_file_bytes(path))
 
 

@@ -91,19 +91,68 @@ def _discover_inputs(cfg: PipelineConfig) -> list[Path]:
     return files
 
 
-def _count_sample(basename: str, files: list, k: int, min_count: int,
-                  out_tsv_dir: Path) -> tuple[str, Path | None]:
+def _group_plan(group: dict, k: int):
+    """Metadata pre-pass over a sample group: one codec + one bucket.
+
+    Parses every file once to union the alphabet and find the largest
+    padded stream, so the whole group runs on a single compiled device
+    program (compiles are expensive on remote TPU backends)."""
+    import numpy as np
+
+    from mercat2_tpu.engine.codec import alphabet_of, codec_for_alphabet
+    from mercat2_tpu.io.native import open_fasta_native
+
+    alpha = np.zeros(0, np.uint8)
+    max_stream = 0
+    for files in group.values():
+        for f in files:
+            nf = None
+            try:
+                nf = open_fasta_native(f)
+            except OSError:
+                pass
+            if nf is not None:
+                with nf:
+                    alpha = np.union1d(alpha, nf.alphabet())
+                    max_stream = max(max_stream, nf.stream_len(k))
+            else:
+                seq, rec = parse_fasta_seq(f)
+                alpha = np.union1d(alpha, alphabet_of(seq))
+                if seq.shape[0]:
+                    max_stream = max(
+                        max_stream,
+                        seq.shape[0] + (int(rec[-1]) - int(rec[0])) * (k - 1),
+                    )
+    if alpha.size == 0:
+        return None, None
+    codec = codec_for_alphabet(alpha.astype(np.uint8))
+    bucket = 1 << max(16, (max(max_stream, k) - 1).bit_length())
+    return codec, bucket
+
+
+def _count_sample(basename: str, files: list, counter: KmerCounter,
+                  min_count: int, out_tsv_dir: Path, bucket: int | None
+                  ) -> tuple[str, Path | None]:
     """Count one sample (possibly several chunk files), write its TSV.
 
     Reference behavior: count + min-count filter per file, merge, write
     sorted TSV (/root/reference/bin/mercat2.py:115-137)."""
+    from mercat2_tpu.io.native import open_fasta_native
+
     tables = []
-    codec = None
     for f in files:
-        seq, rec = parse_fasta_seq(f)
-        codec = codec_for_bytes(seq, prefer=codec)
-        tables.append(KmerCounter(k, codec).count(seq, rec, min_count))
-    merged = merge_tables(tables, k)
+        nf = None
+        try:
+            nf = open_fasta_native(f)
+        except OSError:
+            pass
+        if nf is not None:
+            with nf:
+                tables.append(counter.count_native(nf, min_count, bucket=bucket))
+        else:
+            seq, rec = parse_fasta_seq(f)
+            tables.append(counter.count(seq, rec, min_count, bucket=bucket))
+    merged = merge_tables(tables, counter.k)
     if len(merged):
         print(f"Significant k-mers: {len(merged)}")
         return basename, write_counts_tsv(merged, basename, out_tsv_dir / f"{basename}_counts.tsv")
@@ -232,11 +281,15 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
         )
         out_tsv.mkdir(parents=True, exist_ok=True)
         t0 = time.perf_counter()
+        codec, bucket = _group_plan(group, cfg.kmer)
         tsv_list: dict[str, Path] = {}
-        for basename, files in group.items():
-            name, tsv = _count_sample(basename, files, cfg.kmer, cfg.min_count, out_tsv)
-            if tsv:
-                tsv_list[name] = tsv
+        if codec is not None:
+            counter = KmerCounter(cfg.kmer, codec)
+            for basename, files in group.items():
+                name, tsv = _count_sample(basename, files, counter,
+                                          cfg.min_count, out_tsv, bucket)
+                if tsv:
+                    tsv_list[name] = tsv
         print(f"Time to count {cfg.kmer}-mers: {round(time.perf_counter() - t0, 2)} seconds")
 
         if tsv_list:

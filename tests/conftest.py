@@ -1,14 +1,23 @@
 """Test config: force JAX onto 8 virtual CPU devices so multi-chip sharding
-logic is exercised without TPU hardware (SURVEY.md §4 test strategy)."""
+logic is exercised without TPU hardware (SURVEY.md §4 test strategy).
+
+Env vars alone are NOT enough here: the axon TPU plugin's sitecustomize
+calls ``jax.config.update('jax_platforms', 'axon,cpu')`` at interpreter
+startup, overriding JAX_PLATFORMS from the environment. We must override
+the config back (before any backend is initialized — backends resolve
+lazily at first ``jax.devices()``)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import importlib.util
 import sys
