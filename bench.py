@@ -39,14 +39,20 @@ def main() -> None:
     for h in handles:
         alpha = np.union1d(alpha, h.alphabet())
     counter = KmerCounter(K, codec_for_alphabet(alpha.astype(np.uint8)))
-    # one shared power-of-two bucket -> one compiled program for all files
-    bucket = 1 << max(16, (max(h.stream_len(K) for h in handles) - 1).bit_length())
 
     def run_once() -> int:
-        n = 0
-        for h in handles:
-            n += len(counter.count_native(h, MIN_COUNT, bucket=bucket))
-        return n
+        # pipelined: host stream builds in threads, device counts dispatched
+        # as each stream completes, results fetched in order (mirrors
+        # run_pipeline's _count_group).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = []
+        with ThreadPoolExecutor(max_workers=len(handles)) as pool:
+            for s in pool.map(lambda h: counter.build_stream_native(h), handles):
+                pending.append(counter.dispatch_stream(s, MIN_COUNT))
+        for p in pending:
+            p.prefetch()
+        return sum(len(p.table()) for p in pending)
 
     run_once()  # warm: jit compile per bucket size
     t0 = time.perf_counter()

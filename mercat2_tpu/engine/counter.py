@@ -17,6 +17,7 @@ the order the reference writes TSVs in (/root/reference/bin/mercat2.py:132).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -25,7 +26,10 @@ import jax.numpy as jnp
 from mercat2_tpu.engine.codec import Codec, codec_for_bytes
 from mercat2_tpu.ops.kmer_pack import key_words_for
 
-__all__ = ["KmerTable", "KmerCounter", "count_file", "count_files_merged"]
+__all__ = [
+    "KmerTable", "KmerCounter", "PendingCount", "count_file",
+    "count_files_merged",
+]
 
 #: Streams are padded up to one of these sizes to bound recompilations.
 _MIN_BUCKET = 1 << 16
@@ -44,10 +48,17 @@ _DEFAULT_CAP = 1 << 18
 
 
 def _bucket_size(n: int) -> int:
-    b = _MIN_BUCKET
-    while b < n:
-        b <<= 1
-    return b
+    """Round up to quarter-power-of-two granularity (<= 25% padding).
+
+    Device sort cost scales ~n log^2 n, so padding waste is pure loss; the
+    persistent compilation cache makes the handful of extra program shapes
+    (4 per octave) free after first use.
+    """
+    if n <= _MIN_BUCKET:
+        return _MIN_BUCKET
+    e = (n - 1).bit_length()  # 2**e >= n
+    step = 1 << (e - 2)
+    return -(-n // step) * step
 
 
 @dataclasses.dataclass
@@ -152,6 +163,101 @@ def _count_host(seq: np.ndarray, rec: np.ndarray, k: int, min_count: int) -> Kme
     return KmerTable(kmers, counts.astype(np.int64))
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _take_prefix(arrs, *, m: int):
+    """Slice each array to its first m rows on device (cheap d2h transfers)."""
+    return tuple(a[:m] for a in arrs)
+
+
+class PendingCount:
+    """Handle to an in-flight device count. ``table()`` blocks and fetches."""
+
+    def table(self) -> KmerTable:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def prefetch(self) -> None:
+        """Start the d2h copy of the first sync point without blocking.
+
+        Calling this on every pending count before the first ``table()``
+        overlaps the per-result host roundtrips (significant on tunneled
+        single-chip setups where each sync costs ~20 ms of latency)."""
+
+
+class _PendingDense(PendingCount):
+    def __init__(self, counter: "KmerCounter", hist, min_count: int):
+        self._c = counter
+        self._hist = hist
+        self._min_count = min_count
+
+    def prefetch(self) -> None:
+        try:
+            self._hist.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - non-standard backends
+            pass
+
+    def table(self) -> KmerTable:
+        c = self._c
+        hist = np.asarray(self._hist)
+        self._hist = None
+        idx = np.flatnonzero(hist >= max(self._min_count, 1))
+        if idx.size == 0:
+            return KmerTable.empty(c.k)
+        counts = hist[idx].astype(np.int64)
+        # decode base-S bin index -> symbol bytes (bin order == lex order)
+        digits = np.empty((idx.size, c.k), dtype=np.int64)
+        rem = idx.astype(np.int64)
+        for j in range(c.k - 1, -1, -1):
+            digits[:, j] = rem % c.codec.size
+            rem //= c.codec.size
+        return KmerTable(c.codec.symbols[digits], counts)
+
+
+class _PendingSorted(PendingCount):
+    def __init__(self, counter, dstream, min_count, cap, words, counts, n_out):
+        self._c = counter
+        self._dstream = dstream
+        self._min_count = min_count
+        self._cap = cap
+        self._out = (words, counts, n_out)
+
+    def prefetch(self) -> None:
+        try:
+            self._out[2].copy_to_host_async()
+        except AttributeError:  # pragma: no cover - non-standard backends
+            pass
+
+    def table(self) -> KmerTable:
+        from mercat2_tpu.ops.finalize import count_kmers_device
+
+        c = self._c
+        words, counts, n_out = self._out
+        n_out = int(n_out)  # first sync point
+        while n_out > self._cap:  # overflow: retry with room (rare)
+            self._cap = _bucket_size(n_out)
+            words, counts, n_out = count_kmers_device(
+                self._dstream,
+                jnp.int32(self._min_count),
+                k=c.k,
+                bits=c.codec.bits,
+                alphabet_size=c.codec.size,
+                cap=self._cap,
+            )
+            n_out = int(n_out)
+        self._out = self._dstream = None
+        if n_out == 0:
+            return KmerTable.empty(c.k)
+        # transfer only the surviving prefix, padded to a power of two so a
+        # handful of compiled slicers cover every n_out (the tunneled d2h
+        # link is the bottleneck; full-cap transfers cost ~0.5 s/file).
+        m = min(self._cap, max(512, 1 << (n_out - 1).bit_length()))
+        small = jax.device_get(_take_prefix(tuple(words) + (counts,), m=m))
+        cols = [w[:n_out] for w in small[:-1]]
+        counts = small[-1][:n_out].astype(np.int64)
+        packed = np.stack(cols, axis=1)
+        kmers = _decode_payload(packed, c.k, c.codec.bits, c.codec)
+        return KmerTable(kmers, counts)
+
+
 class KmerCounter:
     """Reusable counter for a fixed (k, codec).
 
@@ -215,56 +321,41 @@ class KmerCounter:
 
     # -- device + finalize -------------------------------------------------
 
-    def _count_dense(self, stream: np.ndarray, min_count: int) -> KmerTable:
-        from mercat2_tpu.ops.finalize import dense_count_device
+    def dispatch_stream(self, stream: np.ndarray, min_count: int = 1) -> "PendingCount":
+        """Enqueue the device count for one padded stream, without blocking.
 
-        hist = np.asarray(
-            dense_count_device(
+        JAX dispatch is asynchronous: this returns as soon as the transfer
+        and compute are queued, so callers can pipeline host-side stream
+        building of file i+1 with device compute of file i (the TPU-native
+        equivalent of the reference's per-chunk Ray task overlap,
+        /root/reference/bin/mercat2.py:118-127). Call ``.table()`` on the
+        result to fetch the finished :class:`KmerTable`.
+        """
+        if self.codec.size**self.k <= _DENSE_MAX_BINS:
+            from mercat2_tpu.ops.finalize import dense_count_device
+
+            hist = dense_count_device(
                 jnp.asarray(stream), k=self.k, alphabet_size=self.codec.size
             )
-        )
-        idx = np.flatnonzero(hist >= max(min_count, 1))
-        if idx.size == 0:
-            return KmerTable.empty(self.k)
-        counts = hist[idx].astype(np.int64)
-        # decode base-S bin index -> symbol bytes (bin order == lex order)
-        digits = np.empty((idx.size, self.k), dtype=np.int64)
-        rem = idx.astype(np.int64)
-        for j in range(self.k - 1, -1, -1):
-            digits[:, j] = rem % self.codec.size
-            rem //= self.codec.size
-        return KmerTable(self.codec.symbols[digits], counts)
+            return _PendingDense(self, hist, min_count)
 
-    def _count_sorted(self, stream: np.ndarray, min_count: int) -> KmerTable:
         from mercat2_tpu.ops.finalize import count_kmers_device
 
         p = stream.shape[0] - self.k + 1
         cap = p if min_count <= 1 else min(p, _DEFAULT_CAP)
-        while True:
-            words, counts, n_out = count_kmers_device(
-                jnp.asarray(stream),
-                jnp.int32(min_count),
-                k=self.k,
-                bits=self.codec.bits,
-                alphabet_size=self.codec.size,
-                cap=cap,
-            )
-            n_out = int(n_out)
-            if n_out <= cap:
-                break
-            cap = _bucket_size(n_out)  # overflow: retry with room (rare)
-        if n_out == 0:
-            return KmerTable.empty(self.k)
-        cols = [np.asarray(w[:n_out]) for w in words]
-        counts = np.asarray(counts[:n_out]).astype(np.int64)
-        packed = np.stack(cols, axis=1)
-        kmers = _decode_payload(packed, self.k, self.codec.bits, self.codec)
-        return KmerTable(kmers, counts)
+        dstream = jnp.asarray(stream)
+        words, counts, n_out = count_kmers_device(
+            dstream,
+            jnp.int32(min_count),
+            k=self.k,
+            bits=self.codec.bits,
+            alphabet_size=self.codec.size,
+            cap=cap,
+        )
+        return _PendingSorted(self, dstream, min_count, cap, words, counts, n_out)
 
     def count_stream(self, stream: np.ndarray, min_count: int = 1) -> KmerTable:
-        if self.codec.size**self.k <= _DENSE_MAX_BINS:
-            return self._count_dense(stream, min_count)
-        return self._count_sorted(stream, min_count)
+        return self.dispatch_stream(stream, min_count).table()
 
     def count(
         self,
@@ -280,27 +371,37 @@ class KmerCounter:
             return _count_host(seq, rec, self.k, min_count)
         return self.count_stream(self.build_stream(seq, rec, bucket), min_count)
 
-    def count_native(self, nf, min_count: int = 1,
-                     bucket: int | None = None) -> KmerTable:
-        """Count from a native parse handle (io.native.NativeFasta).
+    def build_stream_native(self, nf, bucket: int | None = None) -> np.ndarray | None:
+        """Padded code stream from a native parse handle, or None if empty.
 
         The C++ side encodes + gap-inserts directly into the padded stream
         buffer — no per-byte record-id array is ever materialized. Records
         shorter than k are kept (their windows are masked by the sentinel
-        gaps), so results match :meth:`count` exactly.
+        gaps), so results match :meth:`count` exactly. ctypes releases the
+        GIL during the fill, so several files can build concurrently.
         """
         total = nf.stream_len(self.k)
         if total < self.k:
-            return KmerTable.empty(self.k)
-        if self.k > _MAX_DEVICE_K:
-            seq, rec = nf.seq_and_rec()
-            seq, rec = _drop_short_records(seq, rec, self.k)
-            return _count_host(seq, rec, self.k, min_count)
+            return None
         size = _bucket_size(total)
         if bucket is not None:
             size = max(size, bucket)
         stream = np.full(size, self.codec.sentinel, np.uint8)
         nf.fill_stream(self.k, self.codec.lut_encode(), stream)
+        return stream
+
+    def count_native(self, nf, min_count: int = 1,
+                     bucket: int | None = None) -> KmerTable:
+        """Count from a native parse handle (io.native.NativeFasta)."""
+        if self.k > _MAX_DEVICE_K:
+            seq, rec = nf.seq_and_rec()
+            seq, rec = _drop_short_records(seq, rec, self.k)
+            if seq.shape[0] < self.k:
+                return KmerTable.empty(self.k)
+            return _count_host(seq, rec, self.k, min_count)
+        stream = self.build_stream_native(nf, bucket)
+        if stream is None:
+            return KmerTable.empty(self.k)
         return self.count_stream(stream, min_count)
 
 

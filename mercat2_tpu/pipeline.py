@@ -130,34 +130,94 @@ def _group_plan(group: dict, k: int):
     return codec, bucket
 
 
-def _count_sample(basename: str, files: list, counter: KmerCounter,
-                  min_count: int, out_tsv_dir: Path, bucket: int | None
-                  ) -> tuple[str, Path | None]:
-    """Count one sample (possibly several chunk files), write its TSV.
-
-    Reference behavior: count + min-count filter per file, merge, write
-    sorted TSV (/root/reference/bin/mercat2.py:115-137)."""
+def _build_stream(path, counter: KmerCounter, bucket: int | None):
+    """Host-side stream build for one file (native parse when available)."""
     from mercat2_tpu.io.native import open_fasta_native
 
-    tables = []
-    for f in files:
-        nf = None
-        try:
-            nf = open_fasta_native(f)
-        except OSError:
-            pass
-        if nf is not None:
-            with nf:
-                tables.append(counter.count_native(nf, min_count, bucket=bucket))
+    nf = None
+    try:
+        nf = open_fasta_native(path)
+    except OSError:
+        pass
+    if nf is not None:
+        with nf:
+            return counter.build_stream_native(nf, bucket)
+    seq, rec = parse_fasta_seq(path)
+    from mercat2_tpu.engine.counter import _drop_short_records
+
+    seq, rec = _drop_short_records(seq, rec, counter.k)
+    if seq.shape[0] < counter.k:
+        return None
+    return counter.build_stream(seq, rec, bucket)
+
+
+def _count_group(group: dict, counter: KmerCounter, min_count: int,
+                 out_tsv_dir: Path, bucket: int | None,
+                 workers: int | None) -> dict:
+    """Count every sample of a group through a host/device pipeline.
+
+    Three overlapping stages (the TPU-native analogue of the reference's
+    Ray task graph, /root/reference/bin/mercat2.py:115-137):
+      1. threads: parse + encode + pad each file into a code stream
+         (the native C++ fill releases the GIL);
+      2. device: counts dispatched asynchronously in submission order;
+      3. host: fetch + decode + TSV write, trailing the device queue.
+
+    The min-count filter stays per file before the merge, matching the
+    reference's per-chunk semantics (/root/reference/lib/mercat2_kmers.py:73-76).
+    """
+    from collections import deque
+
+    from mercat2_tpu.engine.counter import _MAX_DEVICE_K
+
+    jobs = [(basename, f) for basename, files in group.items() for f in files]
+    if counter.k > _MAX_DEVICE_K:  # exact host fallback for pathological k
+        tsv_list = {}
+        for basename, files in group.items():
+            merged = merge_tables(
+                [counter.count(*parse_fasta_seq(f), min_count) for f in files],
+                counter.k,
+            )
+            if len(merged):
+                tsv_list[basename] = write_counts_tsv(
+                    merged, basename, out_tsv_dir / f"{basename}_counts.tsv"
+                )
+        return tsv_list
+    window = max(4, workers or 4)
+    tables: dict[str, list] = {basename: [] for basename in group}
+    tsv_list: dict[str, Path] = {}
+
+    def finish(basename, pending) -> None:
+        tables[basename].append(pending.table())
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = deque(
+            (basename, pool.submit(_build_stream, f, counter, bucket))
+            for basename, f in jobs
+        )
+        inflight: deque = deque()
+        while futs:
+            basename, fut = futs.popleft()
+            stream = fut.result()
+            if stream is not None:
+                pending = counter.dispatch_stream(stream, min_count)
+                pending.prefetch()  # overlap the n_out roundtrip
+                inflight.append((basename, pending))
+            while len(inflight) > window:
+                finish(*inflight.popleft())
+        while inflight:
+            finish(*inflight.popleft())
+
+    for basename in group:
+        merged = merge_tables(tables[basename], counter.k)
+        if len(merged):
+            print(f"Significant k-mers: {len(merged)}")
+            tsv_list[basename] = write_counts_tsv(
+                merged, basename, out_tsv_dir / f"{basename}_counts.tsv"
+            )
         else:
-            seq, rec = parse_fasta_seq(f)
-            tables.append(counter.count(seq, rec, min_count, bucket=bucket))
-    merged = merge_tables(tables, counter.k)
-    if len(merged):
-        print(f"Significant k-mers: {len(merged)}")
-        return basename, write_counts_tsv(merged, basename, out_tsv_dir / f"{basename}_counts.tsv")
-    print("No significant k-mers found")
-    return basename, None
+            print("No significant k-mers found")
+    return tsv_list
 
 
 def _create_figures(tsv_list: dict, type_string: str, out_path: Path,
@@ -281,15 +341,15 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
         )
         out_tsv.mkdir(parents=True, exist_ok=True)
         t0 = time.perf_counter()
-        codec, bucket = _group_plan(group, cfg.kmer)
+        codec, _bucket = _group_plan(group, cfg.kmer)
         tsv_list: dict[str, Path] = {}
         if codec is not None:
             counter = KmerCounter(cfg.kmer, codec)
-            for basename, files in group.items():
-                name, tsv = _count_sample(basename, files, counter,
-                                          cfg.min_count, out_tsv, bucket)
-                if tsv:
-                    tsv_list[name] = tsv
+            # per-file tight buckets (quarter-pow2): the persistent compile
+            # cache makes the handful of shapes cheap, and sort work drops
+            # by up to 2x versus padding every file to the group max.
+            tsv_list = _count_group(group, counter, cfg.min_count, out_tsv,
+                                    None, workers)
         print(f"Time to count {cfg.kmer}-mers: {round(time.perf_counter() - t0, 2)} seconds")
 
         if tsv_list:
