@@ -46,10 +46,10 @@ def main() -> None:
         # run_pipeline's _count_group).
         from concurrent.futures import ThreadPoolExecutor
 
-        pending = []
         with ThreadPoolExecutor(max_workers=len(handles)) as pool:
-            for s in pool.map(lambda h: counter.build_stream_native(h), handles):
-                pending.append(counter.dispatch_stream(s, MIN_COUNT))
+            streams = list(pool.map(
+                lambda h: counter.build_stream_native(h), handles))
+        pending = counter.dispatch_streams(streams, MIN_COUNT)
         for p in pending:
             p.prefetch()
         return sum(len(p.table()) for p in pending)

@@ -183,6 +183,39 @@ class PendingCount:
         single-chip setups where each sync costs ~20 ms of latency)."""
 
 
+def _async_to_host(arr) -> None:
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:  # pragma: no cover - non-standard backends
+        pass
+
+
+def _dense_table(counter: "KmerCounter", hist: np.ndarray, min_count: int) -> KmerTable:
+    """Host finalize of a fetched dense histogram row."""
+    c = counter
+    idx = np.flatnonzero(hist >= max(min_count, 1))
+    if idx.size == 0:
+        return KmerTable.empty(c.k)
+    counts = hist[idx].astype(np.int64)
+    # decode base-S bin index -> symbol bytes (bin order == lex order)
+    digits = np.empty((idx.size, c.k), dtype=np.int64)
+    rem = idx.astype(np.int64)
+    for j in range(c.k - 1, -1, -1):
+        digits[:, j] = rem % c.codec.size
+        rem //= c.codec.size
+    return KmerTable(c.codec.symbols[digits], counts)
+
+
+def _sorted_table(counter: "KmerCounter", cols: list[np.ndarray],
+                  counts: np.ndarray, n_out: int) -> KmerTable:
+    """Host decode of fetched (already compacted) sorted key columns."""
+    if n_out == 0:
+        return KmerTable.empty(counter.k)
+    packed = np.stack([col[:n_out] for col in cols], axis=1)
+    kmers = _decode_payload(packed, counter.k, counter.codec.bits, counter.codec)
+    return KmerTable(kmers, counts[:n_out].astype(np.int64))
+
+
 class _PendingDense(PendingCount):
     def __init__(self, counter: "KmerCounter", hist, min_count: int):
         self._c = counter
@@ -190,26 +223,12 @@ class _PendingDense(PendingCount):
         self._min_count = min_count
 
     def prefetch(self) -> None:
-        try:
-            self._hist.copy_to_host_async()
-        except AttributeError:  # pragma: no cover - non-standard backends
-            pass
+        _async_to_host(self._hist)
 
     def table(self) -> KmerTable:
-        c = self._c
         hist = np.asarray(self._hist)
         self._hist = None
-        idx = np.flatnonzero(hist >= max(self._min_count, 1))
-        if idx.size == 0:
-            return KmerTable.empty(c.k)
-        counts = hist[idx].astype(np.int64)
-        # decode base-S bin index -> symbol bytes (bin order == lex order)
-        digits = np.empty((idx.size, c.k), dtype=np.int64)
-        rem = idx.astype(np.int64)
-        for j in range(c.k - 1, -1, -1):
-            digits[:, j] = rem % c.codec.size
-            rem //= c.codec.size
-        return KmerTable(c.codec.symbols[digits], counts)
+        return _dense_table(self._c, hist, self._min_count)
 
 
 class _PendingSorted(PendingCount):
@@ -221,10 +240,7 @@ class _PendingSorted(PendingCount):
         self._out = (words, counts, n_out)
 
     def prefetch(self) -> None:
-        try:
-            self._out[2].copy_to_host_async()
-        except AttributeError:  # pragma: no cover - non-standard backends
-            pass
+        _async_to_host(self._out[2])
 
     def table(self) -> KmerTable:
         from mercat2_tpu.ops.finalize import count_kmers_device
@@ -251,11 +267,7 @@ class _PendingSorted(PendingCount):
         # link is the bottleneck; full-cap transfers cost ~0.5 s/file).
         m = min(self._cap, max(512, 1 << (n_out - 1).bit_length()))
         small = jax.device_get(_take_prefix(tuple(words) + (counts,), m=m))
-        cols = [w[:n_out] for w in small[:-1]]
-        counts = small[-1][:n_out].astype(np.int64)
-        packed = np.stack(cols, axis=1)
-        kmers = _decode_payload(packed, c.k, c.codec.bits, c.codec)
-        return KmerTable(kmers, counts)
+        return _sorted_table(c, list(small[:-1]), small[-1], n_out)
 
 
 class KmerCounter:
@@ -353,6 +365,15 @@ class KmerCounter:
             cap=cap,
         )
         return _PendingSorted(self, dstream, min_count, cap, words, counts, n_out)
+
+    def dispatch_streams(self, streams: list, min_count: int = 1) -> list:
+        """Dispatch several padded streams; one PendingCount each, in order.
+
+        One device launch per stream. (A vmapped multi-row batch variant was
+        measured 4x SLOWER per element: XLA's TPU sort deoptimizes with a
+        leading batch dimension, and the flip/cummin scans stop fusing.)
+        """
+        return [self.dispatch_stream(s, min_count) for s in streams]
 
     def count_stream(self, stream: np.ndarray, min_count: int = 1) -> KmerTable:
         return self.dispatch_stream(stream, min_count).table()

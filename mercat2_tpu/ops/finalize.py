@@ -63,7 +63,7 @@ def count_kmers_device(
         words: tuple of uint32[cap] payload columns (big-endian packed,
             lexicographically sorted).
         counts: int32[cap] occurrence counts.
-        n_out: int32 — number of surviving kmers (may exceed cap).
+        n_out: int32 -- number of surviving kmers (may exceed cap).
     """
     n = codes_u8.shape[0]
     p = n - k + 1
@@ -102,9 +102,17 @@ def count_kmers_device(
     keep = boundary & (run_len >= jnp.asarray(min_count, jnp.int32))
     n_out = jnp.sum(keep, dtype=jnp.int32)
 
-    # compaction: sort positions of kept boundaries, take first cap, gather
-    kept_pos = jnp.where(keep, pos, _I32MAX)
-    kept_pos = jax.lax.sort(kept_pos)[:cap]
+    # compaction: select the positions of kept boundaries, take first cap,
+    # gather. approx_min_k at recall 1.0 is ~2x cheaper than a full sort on
+    # TPU; float32 position keys are exact below 2**24, and the padded filler
+    # 2**24 always sorts after every real position.
+    if p <= (1 << 24) and cap * 4 <= p:
+        fpos = jnp.where(keep, pos.astype(jnp.float32), jnp.float32(1 << 24))
+        vals, _ = jax.lax.approx_min_k(fpos, cap, recall_target=1.0)
+        kept_pos = jax.lax.sort(vals).astype(jnp.int32)
+    else:
+        kept_pos = jnp.where(keep, pos, _I32MAX)
+        kept_pos = jax.lax.sort(kept_pos)[:cap]
     safe = jnp.minimum(kept_pos, p - 1)
     out_words = tuple(w[safe] for w in sorted_payload)
     out_counts = jnp.where(kept_pos < p, run_len[safe], 0)

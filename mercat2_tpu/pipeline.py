@@ -196,15 +196,34 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
             for basename, f in jobs
         )
         inflight: deque = deque()
+
+        def flush(batch_names, batch_streams) -> None:
+            for name, pending in zip(
+                batch_names, counter.dispatch_streams(batch_streams, min_count)
+            ):
+                pending.prefetch()  # overlap the n_out roundtrip
+                inflight.append((name, pending))
+            while len(inflight) > window:
+                finish(*inflight.popleft())
+
+        batch_names: list[str] = []
+        batch_streams: list = []
+        batch_bytes = 0
         while futs:
             basename, fut = futs.popleft()
             stream = fut.result()
-            if stream is not None:
-                pending = counter.dispatch_stream(stream, min_count)
-                pending.prefetch()  # overlap the n_out roundtrip
-                inflight.append((basename, pending))
-            while len(inflight) > window:
-                finish(*inflight.popleft())
+            if stream is None:
+                continue
+            batch_names.append(basename)
+            batch_streams.append(stream)
+            batch_bytes += stream.shape[0]
+            # flush a launch group once enough rows accumulate (one device
+            # launch covers similar-sized rows; see dispatch_streams)
+            if len(batch_streams) >= 32 or batch_bytes > 512 * 2**20:
+                flush(batch_names, batch_streams)
+                batch_names, batch_streams, batch_bytes = [], [], 0
+        if batch_streams:
+            flush(batch_names, batch_streams)
         while inflight:
             finish(*inflight.popleft())
 

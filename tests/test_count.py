@@ -128,3 +128,46 @@ def _table_from_dict(d: dict[str, int], k: int) -> KmerTable:
         return KmerTable.empty(k)
     kmers = np.frombuffer("".join(km for km, _ in items).encode("latin-1"), np.uint8)
     return KmerTable(kmers.reshape(-1, k).copy(), np.array([c for _, c in items], np.int64))
+
+
+def test_dispatch_streams_batched_parity():
+    """Batched multi-stream dispatch == per-stream counting (all paths)."""
+    rng = random.Random(7)
+    from mercat2_tpu.engine.codec import DNA_CODEC
+
+    for k in (3, 21):  # dense path and sorted path
+        counter = KmerCounter(k, DNA_CODEC)
+        streams = []
+        expected = []
+        for n in (3000, 5000, 800, 4800):
+            seq = np.frombuffer(
+                "".join(rng.choice("ACGT") for _ in range(n)).encode(), np.uint8
+            )
+            rec = np.ones(n, np.int64)
+            streams.append(counter.build_stream(seq, rec))
+            expected.append(counter.count(seq, rec, 2).to_dict())
+        pending = counter.dispatch_streams(streams, 2)
+        for p in pending:
+            p.prefetch()
+        got = [p.table().to_dict() for p in pending]
+        assert got == expected, f"k={k}"
+
+
+def test_approx_compaction_path_parity():
+    """Large stream takes the approx_min_k compaction path; must stay exact."""
+    from mercat2_tpu.engine.counter import _DEFAULT_CAP
+    from mercat2_tpu.engine.codec import DNA_CODEC
+
+    n = 4 * _DEFAULT_CAP + 64  # p >= 4*cap -> approx path in finalize
+    rng = np.random.default_rng(3)
+    seq = DNA_CODEC.symbols[rng.integers(0, 4, size=n)]
+    rec = np.ones(n, np.int64)
+    counter = KmerCounter(21, DNA_CODEC)
+    t = counter.count(seq, rec, 2)
+    # oracle on a sample of kmers via python dict over the same sequence
+    s = seq.tobytes().decode()
+    from collections import Counter as PyCounter
+
+    oracle = PyCounter(s[i : i + 21] for i in range(len(s) - 20))
+    oracle = {km: c for km, c in oracle.items() if c >= 2}
+    assert t.to_dict() == oracle
