@@ -48,17 +48,34 @@ _DEFAULT_CAP = 1 << 18
 
 
 def _bucket_size(n: int) -> int:
-    """Round up to quarter-power-of-two granularity (<= 25% padding).
+    """Round up to eighth-power-of-two granularity (<= 12.5% padding).
 
     Device sort cost scales ~n log^2 n, so padding waste is pure loss; the
     persistent compilation cache makes the handful of extra program shapes
-    (4 per octave) free after first use.
+    (8 per octave) free after first use.
     """
     if n <= _MIN_BUCKET:
         return _MIN_BUCKET
     e = (n - 1).bit_length()  # 2**e >= n
-    step = 1 << (e - 2)
+    step = 1 << (e - 3)
     return -(-n // step) * step
+
+
+def _trim_sentinels(stream: np.ndarray, sentinel: int) -> np.ndarray:
+    """Strip trailing sentinel padding (raw streams never end in one).
+
+    Scans backwards in blocks: cost is O(padding), not O(stream) — a full
+    flatnonzero over a genome-sized stream costs ~50 ms of pure host time.
+    """
+    end = stream.shape[0]
+    block = 1 << 16
+    while end > 0:
+        s = max(0, end - block)
+        nz = np.flatnonzero(stream[s:end] != sentinel)
+        if nz.size:
+            return stream[: s + int(nz[-1]) + 1]
+        end = s
+    return stream[:0]
 
 
 @dataclasses.dataclass
@@ -270,6 +287,105 @@ class _PendingSorted(PendingCount):
         return _sorted_table(c, list(small[:-1]), small[-1], n_out)
 
 
+class _MultiView(PendingCount):
+    """One file's slice of a combined multi-file launch."""
+
+    def __init__(self, multi, row: int):
+        self._multi = multi
+        self._row = row
+
+    def prefetch(self) -> None:
+        self._multi.prefetch()
+
+    def table(self) -> KmerTable:
+        return self._multi.row_table(self._row)
+
+
+class _PendingMultiSorted:
+    """Result of one fid-tagged combined launch (ops.finalize
+    count_kmers_multi_device); splits rows per file at fetch time."""
+
+    def __init__(self, counter, dstream, dstarts, min_count, cap,
+                 mode, shift, n_files, words, counts, n_out):
+        self._c = counter
+        self._dstream = dstream
+        self._dstarts = dstarts
+        self._min_count = min_count
+        self._cap = cap
+        self._mode = mode
+        self._shift = shift
+        self._n_files = n_files
+        self._out = (words, counts, n_out)
+        self._tables: list[KmerTable] | None = None
+
+    def prefetch(self) -> None:
+        _async_to_host(self._out[2])
+
+    def _fetch_all(self) -> None:
+        from mercat2_tpu.ops.finalize import count_kmers_multi_device
+
+        c = self._c
+        words, counts, n_out = self._out
+        n_out = int(n_out)
+        while n_out > self._cap:  # overflow: retry with room (rare)
+            self._cap = _bucket_size(n_out)
+            words, counts, n_out = count_kmers_multi_device(
+                self._dstream, self._dstarts, jnp.int32(self._min_count),
+                k=c.k, bits=c.codec.bits, alphabet_size=c.codec.size,
+                cap=self._cap, n_files=self._n_files,
+            )
+            n_out = int(n_out)
+        self._out = self._dstream = self._dstarts = None
+        if n_out == 0:
+            self._tables = [KmerTable.empty(c.k)] * self._n_files
+            return
+        m = min(self._cap, max(512, 1 << (n_out - 1).bit_length()))
+        small = jax.device_get(_take_prefix(tuple(words) + (counts,), m=m))
+        if self._mode == "embedded":
+            fids = (small[0][:n_out] >> np.uint32(self._shift)).astype(np.int64)
+            cols = [np.ascontiguousarray(w[:n_out]) for w in small[:-1]]
+            cols[0] = cols[0] & np.uint32((1 << self._shift) - 1)
+        else:
+            fids = small[0][:n_out].astype(np.int64)
+            cols = [np.ascontiguousarray(w[:n_out]) for w in small[1:-1]]
+        cnts = small[-1][:n_out]
+        # rows are sorted by (fid, key): contiguous per-file slices
+        bounds = np.searchsorted(fids, np.arange(self._n_files + 1))
+        self._tables = [
+            _sorted_table(
+                c, [col[bounds[f] : bounds[f + 1]] for col in cols],
+                cnts[bounds[f] : bounds[f + 1]],
+                int(bounds[f + 1] - bounds[f]),
+            )
+            for f in range(self._n_files)
+        ]
+
+    def row_table(self, row: int) -> KmerTable:
+        if self._tables is None:
+            self._fetch_all()
+        return self._tables[row]
+
+
+class _PendingMultiDense:
+    """Combined dense-histogram launch; host splits [B, S**k] rows."""
+
+    def __init__(self, counter, hists, n_files, min_count):
+        self._c = counter
+        self._hists = hists
+        self._n_files = n_files
+        self._min_count = min_count
+        self._fetched = None
+
+    def prefetch(self) -> None:
+        _async_to_host(self._hists)
+
+    def row_table(self, row: int) -> KmerTable:
+        if self._fetched is None:
+            self._fetched = np.asarray(self._hists).reshape(self._n_files, -1)
+            self._hists = None
+        return _dense_table(self._c, self._fetched[row], self._min_count)
+
+
 class KmerCounter:
     """Reusable counter for a fixed (k, codec).
 
@@ -343,6 +459,12 @@ class KmerCounter:
         /root/reference/bin/mercat2.py:118-127). Call ``.table()`` on the
         result to fetch the finished :class:`KmerTable`.
         """
+        n = stream.shape[0]
+        size = _bucket_size(max(n, self.k))
+        if size != n:  # raw (trimmed) input: bucket-pad here
+            padded = np.full(size, self.codec.sentinel, np.uint8)
+            padded[:n] = stream
+            stream = padded
         if self.codec.size**self.k <= _DENSE_MAX_BINS:
             from mercat2_tpu.ops.finalize import dense_count_device
 
@@ -366,14 +488,113 @@ class KmerCounter:
         )
         return _PendingSorted(self, dstream, min_count, cap, words, counts, n_out)
 
-    def dispatch_streams(self, streams: list, min_count: int = 1) -> list:
-        """Dispatch several padded streams; one PendingCount each, in order.
+    #: streams at least this long get their own launch: XLA's TPU sort is
+    #: superlinear, so gluing multi-M streams together costs more than the
+    #: ~20 ms of per-launch latency it saves.
+    _SOLO_MIN = 2 << 20
+    #: target combined size per multi launch (small-file groups)
+    _MULTI_TARGET = 6 << 20
+    #: dense multi launches cap the total histogram size
+    _MULTI_MAX_BINS = 1 << 22
 
-        One device launch per stream. (A vmapped multi-row batch variant was
-        measured 4x SLOWER per element: XLA's TPU sort deoptimizes with a
-        leading batch dimension, and the flip/cummin scans stop fusing.)
+    def dispatch_streams(self, streams: list, min_count: int = 1) -> list:
+        """Dispatch several streams; one PendingCount each, in order.
+
+        Small streams are concatenated (k-1 sentinel gap between files) and
+        counted in ONE device launch with file-id-tagged sort keys (see
+        ops.finalize.count_kmers_multi_device) — per-launch latency (~20 ms
+        on tunneled backends) would otherwise dominate them. Large streams
+        launch solo. (A vmapped [B, N] batch was measured 4x slower per
+        element: XLA's TPU sort deoptimizes over a leading batch dim.)
         """
-        return [self.dispatch_stream(s, min_count) for s in streams]
+        streams = list(streams)
+        if len(streams) == 1:
+            return [self.dispatch_stream(streams[0], min_count)]
+        trimmed = [_trim_sentinels(s, self.codec.sentinel) for s in streams]
+        dense = self.codec.size**self.k <= _DENSE_MAX_BINS
+        per = (
+            max(1, self._MULTI_MAX_BINS // self.codec.size**self.k)
+            if dense else len(streams)
+        )
+        results: list = [None] * len(streams)
+        group: list[int] = []
+        group_bytes = 0
+
+        def flush() -> None:
+            nonlocal group, group_bytes
+            if not group:
+                return
+            if len(group) == 1:
+                results[group[0]] = self.dispatch_stream(
+                    trimmed[group[0]], min_count
+                )
+            else:
+                multi = self._dispatch_multi(
+                    [trimmed[i] for i in group], min_count, dense
+                )
+                for r, i in enumerate(group):
+                    results[i] = _MultiView(multi, r)
+            group, group_bytes = [], 0
+
+        for i, t in enumerate(trimmed):
+            if t.shape[0] >= self._SOLO_MIN and not dense:
+                results[i] = self.dispatch_stream(t, min_count)
+                continue
+            if group and (
+                len(group) >= per
+                or group_bytes + t.shape[0] > self._MULTI_TARGET
+            ):
+                flush()
+            group.append(i)
+            group_bytes += t.shape[0]
+        flush()
+        return results
+
+    def _combine_streams(self, streams: list) -> tuple[np.ndarray, np.ndarray]:
+        """Concatenate trimmed streams with k-1 sentinel gaps, bucket-pad."""
+        gap = self.k - 1
+        trimmed = streams  # already trimmed by dispatch_streams
+        total = sum(t.shape[0] for t in trimmed) + gap * (len(trimmed) - 1)
+        size = _bucket_size(max(total, self.k))
+        combined = np.full(size, self.codec.sentinel, np.uint8)
+        starts = np.empty(len(trimmed), np.int32)
+        off = 0
+        for f, t in enumerate(trimmed):
+            starts[f] = off
+            combined[off : off + t.shape[0]] = t
+            off += t.shape[0] + gap
+        return combined, starts
+
+    def _dispatch_multi(self, streams: list, min_count: int, dense: bool):
+        combined, starts = self._combine_streams(streams)
+        dstream = jnp.asarray(combined)
+        dstarts = jnp.asarray(starts)
+        n_files = len(streams)
+        if dense:
+            from mercat2_tpu.ops.finalize import dense_count_multi_device
+
+            hists = dense_count_multi_device(
+                dstream, dstarts,
+                k=self.k, alphabet_size=self.codec.size, n_files=n_files,
+            )
+            return _PendingMultiDense(self, hists, n_files, min_count)
+
+        from mercat2_tpu.ops.finalize import (
+            count_kmers_multi_device, fid_layout,
+        )
+
+        p = combined.shape[0] - self.k + 1
+        cap = p if min_count <= 1 else min(p, max(_DEFAULT_CAP, 16384 * n_files))
+        mode, shift = fid_layout(self.k, self.codec.bits, n_files)
+        words, counts, n_out = count_kmers_multi_device(
+            dstream, dstarts, jnp.int32(min_count),
+            k=self.k, bits=self.codec.bits, alphabet_size=self.codec.size,
+            cap=cap, n_files=n_files,
+        )
+        return _PendingMultiSorted(
+            self, dstream, dstarts, min_count, cap, mode, shift,
+            n_files, words, counts, n_out,
+        )
 
     def count_stream(self, stream: np.ndarray, min_count: int = 1) -> KmerTable:
         return self.dispatch_stream(stream, min_count).table()

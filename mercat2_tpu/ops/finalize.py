@@ -31,10 +31,53 @@ from mercat2_tpu.ops.kmer_pack import (
     window_validity,
 )
 
-__all__ = ["count_kmers_device", "dense_count_device"]
+__all__ = [
+    "count_kmers_device", "count_kmers_multi_device", "fid_layout",
+    "dense_count_device", "dense_count_multi_device",
+]
 
 _ONES32 = jnp.uint32(0xFFFFFFFF)
 _I32MAX = jnp.int32(2**31 - 1)
+
+#: approx_min_k segment size: local positions stay exactly representable
+#: in float32 (< 2**24).
+_SEG = 1 << 23
+
+
+def _select_first_positions(keep: jax.Array, p: int, cap: int) -> jax.Array:
+    """int32[cap] ascending positions of the first ``cap`` True entries
+    (fillers >= p at the tail when fewer survive).
+
+    Stream compaction on TPU without scatter: approx_min_k at recall 1.0
+    over float32 position keys is ~2x cheaper than the full-sort
+    alternative. Positions beyond float32's exact-integer range are
+    handled by segmenting into 2**23-wide slices with local coordinates,
+    then merging the per-segment winners with one small sort.
+    """
+    pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+    if cap * 4 > p:  # selection overhead not worth it near full size
+        return jax.lax.sort(jnp.where(keep, pos, _I32MAX))[:cap]
+    if p <= (1 << 24):
+        fpos = jnp.where(keep, pos.astype(jnp.float32), jnp.float32(1 << 24))
+        vals, _ = jax.lax.approx_min_k(fpos, cap, recall_target=1.0)
+        return jax.lax.sort(vals).astype(jnp.int32)
+    local = jax.lax.broadcasted_iota(jnp.int32, (_SEG,), 0).astype(jnp.float32)
+    winners = []
+    for h in range(-(-p // _SEG)):
+        lo = h * _SEG
+        seg_len = min(_SEG, p - lo)
+        seg_keep = jax.lax.slice_in_dim(keep, lo, lo + seg_len)
+        fpos = jnp.where(
+            seg_keep, local[:seg_len], jnp.float32(1 << 24)
+        )
+        seg_cap = min(cap, seg_len)
+        vals, _ = jax.lax.approx_min_k(fpos, seg_cap, recall_target=1.0)
+        glob = jnp.where(
+            vals < jnp.float32(1 << 24), vals.astype(jnp.int32) + lo, _I32MAX
+        )
+        winners.append(glob)
+    merged = jax.lax.sort(jnp.concatenate(winners))
+    return merged[:cap]
 
 
 @functools.partial(
@@ -102,21 +145,140 @@ def count_kmers_device(
     keep = boundary & (run_len >= jnp.asarray(min_count, jnp.int32))
     n_out = jnp.sum(keep, dtype=jnp.int32)
 
-    # compaction: select the positions of kept boundaries, take first cap,
-    # gather. approx_min_k at recall 1.0 is ~2x cheaper than a full sort on
-    # TPU; float32 position keys are exact below 2**24, and the padded filler
-    # 2**24 always sorts after every real position.
-    if p <= (1 << 24) and cap * 4 <= p:
-        fpos = jnp.where(keep, pos.astype(jnp.float32), jnp.float32(1 << 24))
-        vals, _ = jax.lax.approx_min_k(fpos, cap, recall_target=1.0)
-        kept_pos = jax.lax.sort(vals).astype(jnp.int32)
-    else:
-        kept_pos = jnp.where(keep, pos, _I32MAX)
-        kept_pos = jax.lax.sort(kept_pos)[:cap]
+    kept_pos = _select_first_positions(keep, p, cap)
     safe = jnp.minimum(kept_pos, p - 1)
     out_words = tuple(w[safe] for w in sorted_payload)
     out_counts = jnp.where(kept_pos < p, run_len[safe], 0)
     return out_words, out_counts, n_out
+
+
+def fid_layout(k: int, bits: int, n_files: int) -> tuple[str, int]:
+    """How to tag each window's sort key with its file id (see
+    ``count_kmers_multi_device``).
+
+    Returns ("embedded", shift) when the key's top word has enough spare
+    bits to hold the fid for free, else ("word", 0) meaning a dedicated
+    leading fid word (which REPLACES the tie-break word when one exists,
+    so it is also free in that case).
+    """
+    fid_bits = max(1, n_files.bit_length())
+    payload = max(1, -(-(k * bits) // 32))
+    kb0 = k * bits - 32 * (payload - 1)  # key bits living in word0
+    if 32 - kb0 >= fid_bits:
+        return "embedded", kb0
+    return "word", 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bits", "alphabet_size", "cap", "n_files")
+)
+def count_kmers_multi_device(
+    codes_u8: jax.Array,
+    starts: jax.Array,
+    min_count: jax.Array,
+    *,
+    k: int,
+    bits: int,
+    alphabet_size: int,
+    cap: int,
+    n_files: int,
+):
+    """Count several files in ONE launch via file-id-tagged sort keys.
+
+    ``codes_u8`` is the concatenation of the files' code streams with k-1
+    sentinel separators between files (so windows never span files) and
+    sentinel tail padding. ``starts`` (int32[n_files]) holds each file's
+    first position in the combined stream.
+
+    Each window's sort key is prefixed with its file id — either packed
+    into the spare high bits of the top key word (free) or as a dedicated
+    leading word (see :func:`fid_layout`). One 1-D sort then groups rows by
+    (file, kmer); equal kmers from different files never merge, per-file
+    rows come out contiguous and lexicographically sorted, and the host
+    splits the compacted table by fid. This replaces B per-file launches
+    with one, without the batched-sort deoptimization a vmapped [B, N]
+    layout incurs, and keeps the reference's per-file min-count semantics
+    (/root/reference/lib/mercat2_kmers.py:73-76) since runs are per-file.
+
+    Returns (words, counts, n_out) like :func:`count_kmers_device`; the
+    leading/embedded fid stays in ``words`` for the host to strip.
+    """
+    n = codes_u8.shape[0]
+    p = n - k + 1
+
+    valid = window_validity(codes_u8, k, alphabet_size)
+    payload = pack_kmer_words(codes_u8.astype(jnp.uint32), k, bits)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+    fid = (
+        jnp.searchsorted(starts, pos, side="right").astype(jnp.uint32) - 1
+    )
+
+    mode, shift = fid_layout(k, bits, n_files)
+    if mode == "embedded":
+        payload = [payload[0] | (fid << shift)] + payload[1:]
+        keyed = [jnp.where(valid, w, _ONES32) for w in payload]
+        # spare bits make the all-ones invalid marker unambiguous: real fids
+        # are < 2**fid_bits - 1 <= the marker's fid field
+        total_words = len(keyed)
+    else:
+        keyed = [jnp.where(valid, fid, _ONES32)]
+        keyed += [jnp.where(valid, w, _ONES32) for w in payload]
+        total_words = len(keyed)
+
+    words = jax.lax.sort(tuple(keyed), num_keys=total_words)
+    n_valid = jnp.sum(valid, dtype=jnp.int32)
+    in_valid = pos < n_valid
+
+    boundary = jnp.zeros((p,), bool).at[0].set(True)
+    for w in words:
+        boundary = boundary | jnp.concatenate(
+            [jnp.ones((1,), bool), w[1:] != w[:-1]]
+        )
+    boundary = boundary & in_valid
+
+    bpos = jnp.where(boundary, pos, _I32MAX)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(bpos)))
+    nxt_excl = jnp.concatenate([nxt[1:], jnp.full((1,), _I32MAX, jnp.int32)])
+    run_len = jnp.minimum(nxt_excl, n_valid) - pos
+
+    keep = boundary & (run_len >= jnp.asarray(min_count, jnp.int32))
+    n_out = jnp.sum(keep, dtype=jnp.int32)
+
+    kept_pos = _select_first_positions(keep, p, cap)
+    safe = jnp.minimum(kept_pos, p - 1)
+    out_words = tuple(w[safe] for w in words)
+    out_counts = jnp.where(kept_pos < p, run_len[safe], 0)
+    return out_words, out_counts, n_out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "alphabet_size", "n_files")
+)
+def dense_count_multi_device(
+    codes_u8: jax.Array,
+    starts: jax.Array,
+    *,
+    k: int,
+    alphabet_size: int,
+    n_files: int,
+):
+    """Multi-file dense histogram in one launch: int32[n_files * S**k].
+
+    Bin index = fid * S**k + window index; gaps/padding scatter to the
+    dropped overflow bin. Host reshapes to [n_files, S**k].
+    """
+    from mercat2_tpu.ops.dense_hist import dense_kmer_index
+
+    n = codes_u8.shape[0]
+    p = n - k + 1
+    valid = window_validity(codes_u8, k, alphabet_size)
+    idx = dense_kmer_index(codes_u8, k, alphabet_size)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+    fid = jnp.searchsorted(starts, pos, side="right").astype(jnp.int32) - 1
+    nbins = alphabet_size**k
+    total = n_files * nbins
+    full_idx = jnp.where(valid, fid * nbins + idx, total)
+    return jnp.zeros((total,), jnp.int32).at[full_idx].add(1, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alphabet_size"))

@@ -171,3 +171,23 @@ def test_approx_compaction_path_parity():
     oracle = PyCounter(s[i : i + 21] for i in range(len(s) - 20))
     oracle = {km: c for km, c in oracle.items() if c >= 2}
     assert t.to_dict() == oracle
+
+
+def test_dispatch_streams_fid_word_mode():
+    """k=16 DNA: 32-bit keys leave no spare bits -> dedicated fid word."""
+    from mercat2_tpu.engine.codec import DNA_CODEC
+    from mercat2_tpu.ops.finalize import fid_layout
+
+    assert fid_layout(16, 2, 3)[0] == "word"
+    rng = random.Random(11)
+    counter = KmerCounter(16, DNA_CODEC)
+    streams, expected = [], []
+    for n in (2000, 1500, 3000):
+        seq = np.frombuffer(
+            "".join(rng.choice("ACGT") for _ in range(n)).encode(), np.uint8
+        )
+        rec = np.ones(n, np.int64)
+        streams.append(counter.build_stream(seq, rec))
+        expected.append(counter.count(seq, rec, 1).to_dict())
+    got = [p.table().to_dict() for p in counter.dispatch_streams(streams, 1)]
+    assert got == expected
