@@ -35,7 +35,7 @@ def assembly_stats(path, interval: int = 100) -> str:
     total = int(lengths.sum())
     gc = int(((seq == ord("G")) | (seq == ord("C"))).sum())
 
-    lines = []
+    lines = [""]  # golden stats files open with a blank line
     # histogram of contig lengths in `interval`-width bins
     bins = (lengths // interval) * interval
     for b in np.unique(bins):

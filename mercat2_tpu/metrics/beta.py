@@ -40,7 +40,11 @@ BETA_METRICS = [
     "yule",
 ]
 
-_ALIASES = {"manhattan": "cityblock"}
+_ALIASES = {
+    "manhattan": "cityblock",
+    # removed from scipy >= 1.17; identical to the simple matching distance
+    "sokalmichener": "matching",
+}
 #: scipy treats these as boolean vectors; skbio passes the raw counts and
 #: scipy casts internally — replicated by bool-casting here for the ones
 #: scipy>=1.11 no longer accepts as numeric.
