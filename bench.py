@@ -28,7 +28,7 @@ def main() -> None:
     import numpy as np
 
     from mercat2_tpu.engine.codec import codec_for_alphabet
-    from mercat2_tpu.engine.counter import KmerCounter
+    from mercat2_tpu.engine.counter import KmerCounter, fetch_tables
     from mercat2_tpu.io.native import open_fasta_native
 
     files = sorted(DATA.glob("*.fna.gz"))
@@ -50,9 +50,7 @@ def main() -> None:
             streams = list(pool.map(
                 lambda h: counter.build_stream_native(h), handles))
         pending = counter.dispatch_streams(streams, MIN_COUNT)
-        for p in pending:
-            p.prefetch()
-        return sum(len(p.table()) for p in pending)
+        return sum(len(t) for t in fetch_tables(pending))
 
     run_once()  # warm: jit compile per bucket size
     t0 = time.perf_counter()

@@ -28,7 +28,7 @@ from mercat2_tpu.ops.kmer_pack import key_words_for
 
 __all__ = [
     "KmerTable", "KmerCounter", "PendingCount", "count_file",
-    "count_files_merged",
+    "count_files_merged", "fetch_tables",
 ]
 
 #: Streams are padded up to one of these sizes to bound recompilations.
@@ -255,17 +255,21 @@ class _PendingSorted(PendingCount):
         self._min_count = min_count
         self._cap = cap
         self._out = (words, counts, n_out)
+        self._n_out: int | None = None
 
     def prefetch(self) -> None:
         _async_to_host(self._out[2])
 
-    def table(self) -> KmerTable:
+    def _resolve_n(self) -> int:
+        """Sync on n_out, retrying with a bigger cap on overflow (rare)."""
+        if self._n_out is not None:
+            return self._n_out
         from mercat2_tpu.ops.finalize import count_kmers_device
 
         c = self._c
         words, counts, n_out = self._out
         n_out = int(n_out)  # first sync point
-        while n_out > self._cap:  # overflow: retry with room (rare)
+        while n_out > self._cap:
             self._cap = _bucket_size(n_out)
             words, counts, n_out = count_kmers_device(
                 self._dstream,
@@ -276,15 +280,63 @@ class _PendingSorted(PendingCount):
                 cap=self._cap,
             )
             n_out = int(n_out)
-        self._out = self._dstream = None
+        self._out = (words, counts, n_out)
+        self._dstream = None
+        self._n_out = n_out
+        return n_out
+
+    def _device_columns(self):
+        """(words..., counts) device arrays after _resolve_n."""
+        words, counts, _ = self._out
+        return tuple(words) + (counts,)
+
+    def _from_fetched(self, cols) -> KmerTable:
+        return _sorted_table(self._c, list(cols[:-1]), cols[-1], self._n_out)
+
+    def table(self) -> KmerTable:
+        n_out = self._resolve_n()
         if n_out == 0:
-            return KmerTable.empty(c.k)
+            return KmerTable.empty(self._c.k)
         # transfer only the surviving prefix, padded to a power of two so a
         # handful of compiled slicers cover every n_out (the tunneled d2h
         # link is the bottleneck; full-cap transfers cost ~0.5 s/file).
         m = min(self._cap, max(512, 1 << (n_out - 1).bit_length()))
-        small = jax.device_get(_take_prefix(tuple(words) + (counts,), m=m))
-        return _sorted_table(c, list(small[:-1]), small[-1], n_out)
+        small = jax.device_get(_take_prefix(self._device_columns(), m=m))
+        return self._from_fetched(small)
+
+
+def fetch_tables(pendings: list) -> list[KmerTable]:
+    """Fetch every pending count with the d2h work batched.
+
+    Per-pending ``table()`` dispatches one prefix-slice program and one
+    transfer each — on tunneled backends each round trip costs ~20 ms. This
+    groups all plain sorted pendings into ONE slice launch + ONE batched
+    device_get; other pending kinds fall back to their own ``table()``.
+    """
+    for p in pendings:
+        p.prefetch()
+    plain = [
+        p for p in pendings
+        if isinstance(p, _PendingSorted) and p._resolve_n() > 0
+    ]
+    if len(plain) > 1:
+        m = max(512, 1 << (max(p._n_out for p in plain) - 1).bit_length())
+        arrs = []
+        spans = []
+        for p in plain:
+            cols = p._device_columns()
+            spans.append((len(arrs), len(arrs) + len(cols)))
+            arrs.extend(cols)
+        small = jax.device_get(_take_prefix(tuple(arrs), m=m))
+        fetched = {
+            id(p): p._from_fetched(small[lo:hi])
+            for p, (lo, hi) in zip(plain, spans)
+        }
+        return [
+            fetched[id(p)] if id(p) in fetched else p.table()
+            for p in pendings
+        ]
+    return [p.table() for p in pendings]
 
 
 class _MultiView(PendingCount):

@@ -183,12 +183,16 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
                     merged, basename, out_tsv_dir / f"{basename}_counts.tsv"
                 )
         return tsv_list
-    window = max(4, workers or 4)
+    from mercat2_tpu.engine.counter import fetch_tables
+
+    window = max(8, 2 * (workers or 4))
     tables: dict[str, list] = {basename: [] for basename in group}
     tsv_list: dict[str, Path] = {}
 
-    def finish(basename, pending) -> None:
-        tables[basename].append(pending.table())
+    def finish(batch) -> None:
+        names = [name for name, _ in batch]
+        for name, tbl in zip(names, fetch_tables([p for _, p in batch])):
+            tables[name].append(tbl)
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futs = deque(
@@ -203,8 +207,8 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
             ):
                 pending.prefetch()  # overlap the n_out roundtrip
                 inflight.append((name, pending))
-            while len(inflight) > window:
-                finish(*inflight.popleft())
+            if len(inflight) > window:  # drain the older half, batched
+                finish([inflight.popleft() for _ in range(len(inflight) // 2)])
 
         batch_names: list[str] = []
         batch_streams: list = []
@@ -224,8 +228,8 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
                 batch_names, batch_streams, batch_bytes = [], [], 0
         if batch_streams:
             flush(batch_names, batch_streams)
-        while inflight:
-            finish(*inflight.popleft())
+        finish(list(inflight))
+        inflight.clear()
 
     for basename in group:
         merged = merge_tables(tables[basename], counter.k)
