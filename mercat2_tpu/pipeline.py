@@ -279,9 +279,11 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
             )
     out.mkdir(parents=True, exist_ok=True)
 
-    from mercat2_tpu.utils import enable_compilation_cache
+    from mercat2_tpu.utils import DebugTrace, enable_compilation_cache
 
     enable_compilation_cache()
+    debug = DebugTrace(cfg.debug, out / "jax_trace" if cfg.debug else None)
+    debug.__enter__()
 
     workers = cfg.num_cores or None
     cleanpath = out / "clean"
@@ -342,6 +344,7 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
 
     n_files = len(samples["nucleotide"]) + len(samples["protein"])
     print(f"Time to load {n_files} files: {round(time.perf_counter() - t_start, 2)} seconds")
+    debug.stage("load")
 
     fig_plots: dict = {}
     diversity_outputs: dict[str, list[Path]] = {}
@@ -374,6 +377,7 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
             tsv_list = _count_group(group, counter, cfg.min_count, out_tsv,
                                     None, workers)
         print(f"Time to count {cfg.kmer}-mers: {round(time.perf_counter() - t0, 2)} seconds")
+        debug.stage(f"count {type_string}")
 
         if tsv_list:
             fig_plots.update(_create_figures(tsv_list, type_string, out, cfg))
@@ -442,5 +446,7 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
             key = "Nucleotide" if typ == "nucleotide" else typ
             merge_tsv(tomerge, report_dir / f"diversity-{key}.tsv")
 
+    debug.stage("finish")
+    debug.__exit__(None, None, None)
     print("\nFinished MerCat2-TPU Pipeline")
     return out

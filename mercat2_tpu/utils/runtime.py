@@ -33,6 +33,46 @@ def enable_compilation_cache(path: str | None = None) -> None:
     _CACHE_ENABLED = True
 
 
+def mem_use() -> str:
+    """Current host RAM usage, GB (reference's mem_use,
+    /root/reference/bin/mercat2.py:31-32)."""
+    try:
+        import psutil
+
+        return f"{psutil.virtual_memory().used / 1024**3:.2f} GB"
+    except ImportError:  # pragma: no cover
+        return "n/a"
+
+
+class DebugTrace:
+    """Optional observability for ``-debug`` runs: prints host RAM at each
+    stage (the reference gates the same prints on its hidden ``-debug``
+    flag) and records a ``jax.profiler`` trace for TPU timeline analysis."""
+
+    def __init__(self, enabled: bool, trace_dir=None):
+        self.enabled = enabled
+        self.trace_dir = str(trace_dir) if trace_dir else None
+        self._trace = None
+
+    def __enter__(self):
+        if self.enabled and self.trace_dir:
+            import jax
+
+            self._trace = jax.profiler.trace(self.trace_dir)
+            self._trace.__enter__()
+            print(f"[debug] jax profiler trace -> {self.trace_dir}")
+        return self
+
+    def __exit__(self, *exc):
+        if self._trace is not None:
+            self._trace.__exit__(*exc)
+        return False
+
+    def stage(self, name: str) -> None:
+        if self.enabled:
+            print(f"[debug] {name}: host RAM {mem_use()}")
+
+
 class StageTimer:
     """Named wall-clock stage timer with a report() summary."""
 
