@@ -91,54 +91,70 @@ def _discover_inputs(cfg: PipelineConfig) -> list[Path]:
     return files
 
 
-def _group_plan(group: dict, k: int):
-    """Metadata pre-pass over a sample group: one codec + one bucket.
+#: total decompressed bytes of parse handles kept open between the codec
+#: pre-pass and stream building (beyond this, files are re-parsed lazily)
+_HOLD_CAP = 1 << 30
 
-    Parses every file once to union the alphabet and find the largest
-    padded stream, so the whole group runs on a single compiled device
-    program (compiles are expensive on remote TPU backends)."""
+
+def _group_plan(group: dict, k: int, workers: int | None = None):
+    """Metadata pre-pass over a sample group: one shared codec.
+
+    Parses every file (in threads) to union the alphabet — chunks of a
+    sample must share a codec so their numeric keys merge, and one codec
+    per group keeps a single compiled program shape family. Parse handles
+    are kept open (up to ``_HOLD_CAP`` decompressed bytes) and returned so
+    stream building does not decompress the same file twice.
+
+    Returns (codec, handles) where handles maps path -> NativeFasta.
+    """
     import numpy as np
 
     from mercat2_tpu.engine.codec import alphabet_of, codec_for_alphabet
     from mercat2_tpu.io.native import open_fasta_native
 
-    alpha = np.zeros(0, np.uint8)
-    max_stream = 0
-    for files in group.values():
-        for f in files:
+    paths = [f for files in group.values() for f in files]
+
+    def scan(f):
+        try:
+            nf = open_fasta_native(f)
+        except OSError:
             nf = None
-            try:
-                nf = open_fasta_native(f)
-            except OSError:
-                pass
+        if nf is not None:
+            return f, nf, nf.alphabet()
+        seq, _rec = parse_fasta_seq(f)
+        return f, None, alphabet_of(seq)
+
+    alpha = np.zeros(0, np.uint8)
+    handles: dict = {}
+    held = 0
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for f, nf, present in pool.map(scan, paths):
+            alpha = np.union1d(alpha, present)
             if nf is not None:
-                with nf:
-                    alpha = np.union1d(alpha, nf.alphabet())
-                    max_stream = max(max_stream, nf.stream_len(k))
-            else:
-                seq, rec = parse_fasta_seq(f)
-                alpha = np.union1d(alpha, alphabet_of(seq))
-                if seq.shape[0]:
-                    max_stream = max(
-                        max_stream,
-                        seq.shape[0] + (int(rec[-1]) - int(rec[0])) * (k - 1),
-                    )
+                if held + nf.seq_len <= _HOLD_CAP:
+                    handles[f] = nf
+                    held += nf.seq_len
+                else:
+                    nf.close()
     if alpha.size == 0:
-        return None, None
-    codec = codec_for_alphabet(alpha.astype(np.uint8))
-    bucket = 1 << max(16, (max(max_stream, k) - 1).bit_length())
-    return codec, bucket
+        for nf in handles.values():
+            nf.close()
+        return None, {}
+    return codec_for_alphabet(alpha.astype(np.uint8)), handles
 
 
-def _build_stream(path, counter: KmerCounter, bucket: int | None):
-    """Host-side stream build for one file (native parse when available)."""
+def _build_stream(path, counter: KmerCounter, bucket: int | None, nf=None):
+    """Host-side stream build for one file (native parse when available).
+
+    ``nf`` is an already-open NativeFasta from the group plan; it is
+    closed here after use."""
     from mercat2_tpu.io.native import open_fasta_native
 
-    nf = None
-    try:
-        nf = open_fasta_native(path)
-    except OSError:
-        pass
+    if nf is None:
+        try:
+            nf = open_fasta_native(path)
+        except OSError:
+            pass
     if nf is not None:
         with nf:
             return counter.build_stream_native(nf, bucket)
@@ -153,7 +169,7 @@ def _build_stream(path, counter: KmerCounter, bucket: int | None):
 
 def _count_group(group: dict, counter: KmerCounter, min_count: int,
                  out_tsv_dir: Path, bucket: int | None,
-                 workers: int | None) -> dict:
+                 workers: int | None, handles: dict | None = None) -> dict:
     """Count every sample of a group through a host/device pipeline.
 
     Three overlapping stages (the TPU-native analogue of the reference's
@@ -196,7 +212,9 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futs = deque(
-            (basename, pool.submit(_build_stream, f, counter, bucket))
+            (basename, pool.submit(
+                _build_stream, f, counter, bucket, (handles or {}).pop(f, None)
+            ))
             for basename, f in jobs
         )
         inflight: deque = deque()
@@ -367,15 +385,19 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
         )
         out_tsv.mkdir(parents=True, exist_ok=True)
         t0 = time.perf_counter()
-        codec, _bucket = _group_plan(group, cfg.kmer)
+        codec, handles = _group_plan(group, cfg.kmer, workers)
         tsv_list: dict[str, Path] = {}
         if codec is not None:
             counter = KmerCounter(cfg.kmer, codec)
-            # per-file tight buckets (quarter-pow2): the persistent compile
+            # per-file tight buckets (eighth-pow2): the persistent compile
             # cache makes the handful of shapes cheap, and sort work drops
             # by up to 2x versus padding every file to the group max.
-            tsv_list = _count_group(group, counter, cfg.min_count, out_tsv,
-                                    None, workers)
+            try:
+                tsv_list = _count_group(group, counter, cfg.min_count,
+                                        out_tsv, None, workers, handles)
+            finally:
+                for nf in handles.values():  # any not consumed by a build
+                    nf.close()
         print(f"Time to count {cfg.kmer}-mers: {round(time.perf_counter() - t0, 2)} seconds")
         debug.stage(f"count {type_string}")
 
