@@ -38,9 +38,10 @@ _MIN_BUCKET = 1 << 16
 #: host (numpy) path instead of compiling a pathological kernel.
 _MAX_DEVICE_K = 128
 
-#: Use the dense-histogram path when the full keyspace S**k has at most
-#: this many bins (4 MB of int32): no sort, tiny d2h transfer.
-_DENSE_MAX_BINS = 1 << 20
+#: Single chip always uses the sorted path: it measured 1.6-2.4x FASTER
+#: than scatter-add dense histograms even for tiny keyspaces, and its output
+#: cap is bounded by min(windows, S**k). The dense-histogram ops remain for
+#: the multi-chip psum merge (mercat2_tpu.parallel).
 
 #: Default output capacity of the compacted device table when a min-count
 #: filter is active (rows; 12-16 bytes each over the wire).
@@ -207,22 +208,6 @@ def _async_to_host(arr) -> None:
         pass
 
 
-def _dense_table(counter: "KmerCounter", hist: np.ndarray, min_count: int) -> KmerTable:
-    """Host finalize of a fetched dense histogram row."""
-    c = counter
-    idx = np.flatnonzero(hist >= max(min_count, 1))
-    if idx.size == 0:
-        return KmerTable.empty(c.k)
-    counts = hist[idx].astype(np.int64)
-    # decode base-S bin index -> symbol bytes (bin order == lex order)
-    digits = np.empty((idx.size, c.k), dtype=np.int64)
-    rem = idx.astype(np.int64)
-    for j in range(c.k - 1, -1, -1):
-        digits[:, j] = rem % c.codec.size
-        rem //= c.codec.size
-    return KmerTable(c.codec.symbols[digits], counts)
-
-
 def _sorted_table(counter: "KmerCounter", cols: list[np.ndarray],
                   counts: np.ndarray, n_out: int) -> KmerTable:
     """Host decode of fetched (already compacted) sorted key columns."""
@@ -231,21 +216,6 @@ def _sorted_table(counter: "KmerCounter", cols: list[np.ndarray],
     packed = np.stack([col[:n_out] for col in cols], axis=1)
     kmers = _decode_payload(packed, counter.k, counter.codec.bits, counter.codec)
     return KmerTable(kmers, counts[:n_out].astype(np.int64))
-
-
-class _PendingDense(PendingCount):
-    def __init__(self, counter: "KmerCounter", hist, min_count: int):
-        self._c = counter
-        self._hist = hist
-        self._min_count = min_count
-
-    def prefetch(self) -> None:
-        _async_to_host(self._hist)
-
-    def table(self) -> KmerTable:
-        hist = np.asarray(self._hist)
-        self._hist = None
-        return _dense_table(self._c, hist, self._min_count)
 
 
 class _PendingSorted(PendingCount):
@@ -418,26 +388,6 @@ class _PendingMultiSorted:
         return self._tables[row]
 
 
-class _PendingMultiDense:
-    """Combined dense-histogram launch; host splits [B, S**k] rows."""
-
-    def __init__(self, counter, hists, n_files, min_count):
-        self._c = counter
-        self._hists = hists
-        self._n_files = n_files
-        self._min_count = min_count
-        self._fetched = None
-
-    def prefetch(self) -> None:
-        _async_to_host(self._hists)
-
-    def row_table(self, row: int) -> KmerTable:
-        if self._fetched is None:
-            self._fetched = np.asarray(self._hists).reshape(self._n_files, -1)
-            self._hists = None
-        return _dense_table(self._c, self._fetched[row], self._min_count)
-
-
 class KmerCounter:
     """Reusable counter for a fixed (k, codec).
 
@@ -501,6 +451,12 @@ class KmerCounter:
 
     # -- device + finalize -------------------------------------------------
 
+    def _keyspace(self) -> int:
+        """S**k, capped: an output table can never have more rows."""
+        if self.k * self.codec.bits > 30:
+            return 1 << 62
+        return min(self.codec.size**self.k, 1 << 62)
+
     def dispatch_stream(self, stream: np.ndarray, min_count: int = 1) -> "PendingCount":
         """Enqueue the device count for one padded stream, without blocking.
 
@@ -517,18 +473,13 @@ class KmerCounter:
             padded = np.full(size, self.codec.sentinel, np.uint8)
             padded[:n] = stream
             stream = padded
-        if self.codec.size**self.k <= _DENSE_MAX_BINS:
-            from mercat2_tpu.ops.finalize import dense_count_device
-
-            hist = dense_count_device(
-                jnp.asarray(stream), k=self.k, alphabet_size=self.codec.size
-            )
-            return _PendingDense(self, hist, min_count)
 
         from mercat2_tpu.ops.finalize import count_kmers_device
 
         p = stream.shape[0] - self.k + 1
-        cap = p if min_count <= 1 else min(p, _DEFAULT_CAP)
+        cap = min(p, self._keyspace())
+        if min_count > 1:
+            cap = min(cap, _DEFAULT_CAP)
         dstream = jnp.asarray(stream)
         words, counts, n_out = count_kmers_device(
             dstream,
@@ -546,8 +497,6 @@ class KmerCounter:
     _SOLO_MIN = 2 << 20
     #: target combined size per multi launch (small-file groups)
     _MULTI_TARGET = 6 << 20
-    #: dense multi launches cap the total histogram size
-    _MULTI_MAX_BINS = 1 << 22
 
     def dispatch_streams(self, streams: list, min_count: int = 1) -> list:
         """Dispatch several streams; one PendingCount each, in order.
@@ -563,11 +512,6 @@ class KmerCounter:
         if len(streams) == 1:
             return [self.dispatch_stream(streams[0], min_count)]
         trimmed = [_trim_sentinels(s, self.codec.sentinel) for s in streams]
-        dense = self.codec.size**self.k <= _DENSE_MAX_BINS
-        per = (
-            max(1, self._MULTI_MAX_BINS // self.codec.size**self.k)
-            if dense else len(streams)
-        )
         results: list = [None] * len(streams)
         group: list[int] = []
         group_bytes = 0
@@ -582,20 +526,17 @@ class KmerCounter:
                 )
             else:
                 multi = self._dispatch_multi(
-                    [trimmed[i] for i in group], min_count, dense
+                    [trimmed[i] for i in group], min_count
                 )
                 for r, i in enumerate(group):
                     results[i] = _MultiView(multi, r)
             group, group_bytes = [], 0
 
         for i, t in enumerate(trimmed):
-            if t.shape[0] >= self._SOLO_MIN and not dense:
+            if t.shape[0] >= self._SOLO_MIN:
                 results[i] = self.dispatch_stream(t, min_count)
                 continue
-            if group and (
-                len(group) >= per
-                or group_bytes + t.shape[0] > self._MULTI_TARGET
-            ):
+            if group and group_bytes + t.shape[0] > self._MULTI_TARGET:
                 flush()
             group.append(i)
             group_bytes += t.shape[0]
@@ -617,26 +558,20 @@ class KmerCounter:
             off += t.shape[0] + gap
         return combined, starts
 
-    def _dispatch_multi(self, streams: list, min_count: int, dense: bool):
+    def _dispatch_multi(self, streams: list, min_count: int):
         combined, starts = self._combine_streams(streams)
         dstream = jnp.asarray(combined)
         dstarts = jnp.asarray(starts)
         n_files = len(streams)
-        if dense:
-            from mercat2_tpu.ops.finalize import dense_count_multi_device
-
-            hists = dense_count_multi_device(
-                dstream, dstarts,
-                k=self.k, alphabet_size=self.codec.size, n_files=n_files,
-            )
-            return _PendingMultiDense(self, hists, n_files, min_count)
 
         from mercat2_tpu.ops.finalize import (
             count_kmers_multi_device, fid_layout,
         )
 
         p = combined.shape[0] - self.k + 1
-        cap = p if min_count <= 1 else min(p, max(_DEFAULT_CAP, 16384 * n_files))
+        cap = min(p, n_files * self._keyspace())
+        if min_count > 1:
+            cap = min(cap, max(_DEFAULT_CAP, 16384 * n_files))
         mode, shift = fid_layout(self.k, self.codec.bits, n_files)
         words, counts, n_out = count_kmers_multi_device(
             dstream, dstarts, jnp.int32(min_count),

@@ -33,7 +33,7 @@ from mercat2_tpu.ops.kmer_pack import (
 
 __all__ = [
     "count_kmers_device", "count_kmers_multi_device", "fid_layout",
-    "dense_count_device", "dense_count_multi_device",
+    "dense_count_device",
 ]
 
 _ONES32 = jnp.uint32(0xFFFFFFFF)
@@ -249,36 +249,6 @@ def count_kmers_multi_device(
     out_words = tuple(w[safe] for w in words)
     out_counts = jnp.where(kept_pos < p, run_len[safe], 0)
     return out_words, out_counts, n_out
-
-
-@functools.partial(
-    jax.jit, static_argnames=("k", "alphabet_size", "n_files")
-)
-def dense_count_multi_device(
-    codes_u8: jax.Array,
-    starts: jax.Array,
-    *,
-    k: int,
-    alphabet_size: int,
-    n_files: int,
-):
-    """Multi-file dense histogram in one launch: int32[n_files * S**k].
-
-    Bin index = fid * S**k + window index; gaps/padding scatter to the
-    dropped overflow bin. Host reshapes to [n_files, S**k].
-    """
-    from mercat2_tpu.ops.dense_hist import dense_kmer_index
-
-    n = codes_u8.shape[0]
-    p = n - k + 1
-    valid = window_validity(codes_u8, k, alphabet_size)
-    idx = dense_kmer_index(codes_u8, k, alphabet_size)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
-    fid = jnp.searchsorted(starts, pos, side="right").astype(jnp.int32) - 1
-    nbins = alphabet_size**k
-    total = n_files * nbins
-    full_idx = jnp.where(valid, fid * nbins + idx, total)
-    return jnp.zeros((total,), jnp.int32).at[full_idx].add(1, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alphabet_size"))
