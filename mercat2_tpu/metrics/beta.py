@@ -42,8 +42,10 @@ BETA_METRICS = [
 
 _ALIASES = {
     "manhattan": "cityblock",
-    # removed from scipy >= 1.17; identical to the simple matching distance
-    "sokalmichener": "matching",
+    # removed from scipy >= 1.17; scipy's sokalmichener was numerically a
+    # duplicate of rogerstanimoto (2R/(S+2R)), NOT of the simple matching
+    # distance (R/n)
+    "sokalmichener": "rogerstanimoto",
 }
 #: scipy treats these as boolean vectors; skbio passes the raw counts and
 #: scipy casts internally — replicated by bool-casting here for the ones

@@ -301,174 +301,176 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
 
     enable_compilation_cache()
     debug = DebugTrace(cfg.debug, out / "jax_trace" if cfg.debug else None)
-    debug.__enter__()
 
-    workers = cfg.num_cores or None
-    cleanpath = out / "clean"
-    report_dir = out / "report"
-    report_dir.mkdir(parents=True, exist_ok=True)
+    def _body() -> None:
+        workers = cfg.num_cores or None
+        cleanpath = out / "clean"
+        report_dir = out / "report"
+        report_dir.mkdir(parents=True, exist_ok=True)
 
-    print(f"\nStarting MerCat2-TPU with k-mer {cfg.kmer}\n")
-    print("Loading files")
-    t_start = time.perf_counter()
+        print(f"\nStarting MerCat2-TPU with k-mer {cfg.kmer}\n")
+        print("Loading files")
+        t_start = time.perf_counter()
 
-    samples: dict[str, dict[str, list[Path]]] = {
-        "nucleotide": {}, "protein": {}, "prodigal": {}, "fgs": {}
-    }
-    gc_content: dict[str, float] = {}
-    qc_jobs = []
+        samples: dict[str, dict[str, list[Path]]] = {
+            "nucleotide": {}, "protein": {}, "prodigal": {}, "fgs": {}
+        }
+        gc_content: dict[str, float] = {}
+        qc_jobs = []
 
-    def load_fastq(path: Path, basename: str):
-        fq_mod.qc(path, cleanpath, basename)
-        f = path
-        if not cfg.skipclean:
-            f = fq_mod.trim(f, cleanpath, basename)
-            fq_mod.qc(f, cleanpath, basename)
-        return basename, fq_mod.fq2fa(f, cleanpath, basename)
+        def load_fastq(path: Path, basename: str):
+            fq_mod.qc(path, cleanpath, basename)
+            f = path
+            if not cfg.skipclean:
+                f = fq_mod.trim(f, cleanpath, basename)
+                fq_mod.qc(f, cleanpath, basename)
+            return basename, fq_mod.fq2fa(f, cleanpath, basename)
 
-    def load_contig(path: Path, basename: str):
-        if cfg.skipclean:
-            return basename, path, None
-        cleaned, stat = remove_n(path, cleanpath, cfg.toupper)
-        return basename, cleaned, stat
+        def load_contig(path: Path, basename: str):
+            if cfg.skipclean:
+                return basename, path, None
+            cleaned, stat = remove_n(path, cleanpath, cfg.toupper)
+            return basename, cleaned, stat
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        futures = []
-        for path in _discover_inputs(cfg):
-            path = Path(path).expanduser().absolute()
-            ext = _file_ext(path)
-            basename = path.name.removesuffix(ext)
-            if ext in FILE_EXT_FASTQ:
-                futures.append(("fastq", pool.submit(load_fastq, path, basename)))
-            elif ext in FILE_EXT_NUCLEOTIDE:
-                futures.append(("fna", pool.submit(load_contig, path, basename)))
-                futures.append(
-                    ("stats", pool.submit(
-                        write_assembly_stats, path, out / "stats" / f"{basename}.txt"))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = []
+            for path in _discover_inputs(cfg):
+                path = Path(path).expanduser().absolute()
+                ext = _file_ext(path)
+                basename = path.name.removesuffix(ext)
+                if ext in FILE_EXT_FASTQ:
+                    futures.append(("fastq", pool.submit(load_fastq, path, basename)))
+                elif ext in FILE_EXT_NUCLEOTIDE:
+                    futures.append(("fna", pool.submit(load_contig, path, basename)))
+                    futures.append(
+                        ("stats", pool.submit(
+                            write_assembly_stats, path, out / "stats" / f"{basename}.txt"))
+                    )
+                elif ext in FILE_EXT_PROTEIN:
+                    samples["protein"][basename] = [path]
+            for kind, fut in futures:
+                if kind == "fastq":
+                    basename, fasta = fut.result()
+                    samples["nucleotide"][basename] = [fasta]
+                elif kind == "fna":
+                    basename, cleaned, stat = fut.result()
+                    samples["nucleotide"][basename] = [cleaned]
+                    if stat:
+                        gc_content[basename] = stat["GC Content"]
+                else:
+                    fut.result()
+
+        n_files = len(samples["nucleotide"]) + len(samples["protein"])
+        print(f"Time to load {n_files} files: {round(time.perf_counter() - t_start, 2)} seconds")
+        debug.stage("load")
+
+        fig_plots: dict = {}
+        diversity_outputs: dict[str, list[Path]] = {}
+
+        def process_round(sample_type: str, type_string: str) -> None:
+            """chunk -> count -> figures -> diversity for one sample family."""
+            group = samples[sample_type]
+            if not group:
+                return
+            if cfg.chunk_size_mb > 0:
+                dir_chunks = out / f"chunks_{sample_type}"
+                for basename, files in group.items():
+                    _, chunks = maybe_chunk(basename, files[0], cfg.chunk_size_mb,
+                                            dir_chunks / basename)
+                    group[basename] = chunks
+
+            print(f"Processing {type_string}")
+            out_tsv = out / (
+                "tsv_nucleotide" if sample_type == "nucleotide" else f"tsv_{sample_type}"
+            )
+            out_tsv.mkdir(parents=True, exist_ok=True)
+            t0 = time.perf_counter()
+            codec, handles = _group_plan(group, cfg.kmer, workers)
+            tsv_list: dict[str, Path] = {}
+            if codec is not None:
+                counter = KmerCounter(cfg.kmer, codec)
+                # per-file tight buckets (eighth-pow2): the persistent compile
+                # cache makes the handful of shapes cheap, and sort work drops
+                # by up to 2x versus padding every file to the group max.
+                try:
+                    tsv_list = _count_group(group, counter, cfg.min_count,
+                                            out_tsv, None, workers, handles)
+                finally:
+                    for nf in handles.values():  # any not consumed by a build
+                        nf.close()
+            print(f"Time to count {cfg.kmer}-mers: {round(time.perf_counter() - t0, 2)} seconds")
+            debug.stage(f"count {type_string}")
+
+            if tsv_list:
+                fig_plots.update(_create_figures(tsv_list, type_string, out, cfg))
+                beta_dir = report_dir / (
+                    "diversity" if sample_type == "nucleotide" else "beta_diversity"
                 )
-            elif ext in FILE_EXT_PROTEIN:
-                samples["protein"][basename] = [path]
-        for kind, fut in futures:
-            if kind == "fastq":
-                basename, fasta = fut.result()
-                samples["nucleotide"][basename] = [fasta]
-            elif kind == "fna":
-                basename, cleaned, stat = fut.result()
-                samples["nucleotide"][basename] = [cleaned]
-                if stat:
-                    gc_content[basename] = stat["GC Content"]
-            else:
-                fut.result()
+                compute_beta_diversity(
+                    type_string, out / f"combined_{type_string}_T.tsv", beta_dir
+                )
+            div_dir = report_dir / "diversity"
+            div_dir.mkdir(parents=True, exist_ok=True)
+            prefix = "nucleotide" if sample_type == "nucleotide" else sample_type
+            for basename, tsv in tsv_list.items():
+                outfile = div_dir / f"{prefix}-{basename}.tsv"
+                compute_alpha_diversity(basename, tsv, outfile)
+                diversity_outputs.setdefault(basename, []).append(outfile)
 
-    n_files = len(samples["nucleotide"]) + len(samples["protein"])
-    print(f"Time to load {n_files} files: {round(time.perf_counter() - t_start, 2)} seconds")
-    debug.stage("load")
+        # -- nucleotide round --
+        process_round("nucleotide", "Nucleotide")
+        if gc_content:
+            fig_plots["Sample GC Summary"] = figs.gc_plot_sample(gc_content)
 
-    fig_plots: dict = {}
-    diversity_outputs: dict[str, list[Path]] = {}
+        # -- ORF calling --
+        if cfg.prodigal and samples["nucleotide"]:
+            from mercat2_tpu.orf import orf_call
 
-    def process_round(sample_type: str, type_string: str) -> None:
-        """chunk -> count -> figures -> diversity for one sample family."""
-        group = samples[sample_type]
-        if not group:
-            return
-        if cfg.chunk_size_mb > 0:
-            dir_chunks = out / f"chunks_{sample_type}"
-            for basename, files in group.items():
-                _, chunks = maybe_chunk(basename, files[0], cfg.chunk_size_mb,
-                                        dir_chunks / basename)
-                group[basename] = chunks
+            print(f"\nRunning ORF caller on {len(samples['nucleotide'])} files")
+            prodpath = out / "pyrodigal"
+            for basename, files in samples["nucleotide"].items():
+                ret = orf_call(basename, files[0], prodpath, engine="prodigal")
+                if ret:
+                    samples["prodigal"][ret[0]] = [ret[1]]
+        if cfg.fgs and samples["nucleotide"]:
+            from mercat2_tpu.orf import orf_call
 
-        print(f"Processing {type_string}")
-        out_tsv = out / (
-            "tsv_nucleotide" if sample_type == "nucleotide" else f"tsv_{sample_type}"
-        )
-        out_tsv.mkdir(parents=True, exist_ok=True)
-        t0 = time.perf_counter()
-        codec, handles = _group_plan(group, cfg.kmer, workers)
-        tsv_list: dict[str, Path] = {}
-        if codec is not None:
-            counter = KmerCounter(cfg.kmer, codec)
-            # per-file tight buckets (eighth-pow2): the persistent compile
-            # cache makes the handful of shapes cheap, and sort work drops
-            # by up to 2x versus padding every file to the group max.
-            try:
-                tsv_list = _count_group(group, counter, cfg.min_count,
-                                        out_tsv, None, workers, handles)
-            finally:
-                for nf in handles.values():  # any not consumed by a build
-                    nf.close()
-        print(f"Time to count {cfg.kmer}-mers: {round(time.perf_counter() - t0, 2)} seconds")
-        debug.stage(f"count {type_string}")
+            print(f"\nRunning FGS-style ORF caller on {len(samples['nucleotide'])} files")
+            fgspath = out / "fgs"
+            for basename, files in samples["nucleotide"].items():
+                ret = orf_call(basename, files[0], fgspath, engine="fgs")
+                if ret:
+                    samples["fgs"][ret[0]] = [ret[1]]
 
-        if tsv_list:
-            fig_plots.update(_create_figures(tsv_list, type_string, out, cfg))
-            beta_dir = report_dir / (
-                "diversity" if sample_type == "nucleotide" else "beta_diversity"
-            )
-            compute_beta_diversity(
-                type_string, out / f"combined_{type_string}_T.tsv", beta_dir
-            )
-        div_dir = report_dir / "diversity"
-        div_dir.mkdir(parents=True, exist_ok=True)
-        prefix = "nucleotide" if sample_type == "nucleotide" else sample_type
-        for basename, tsv in tsv_list.items():
-            outfile = div_dir / f"{prefix}-{basename}.tsv"
-            compute_alpha_diversity(basename, tsv, outfile)
-            diversity_outputs.setdefault(basename, []).append(outfile)
+        # -- protein rounds --
+        for sample_type in ("protein", "prodigal", "fgs"):
+            process_round(sample_type, sample_type)
 
-    # -- nucleotide round --
-    process_round("nucleotide", "Nucleotide")
-    if gc_content:
-        fig_plots["Sample GC Summary"] = figs.gc_plot_sample(gc_content)
+        # -- report --
+        write_html(report_dir / "report.html", fig_plots, {})
+        for sample_type in ("protein", "fgs", "prodigal"):
+            if samples[sample_type]:
+                tsv_out = report_dir / f"metrics-{sample_type}.tsv"
+                htm_out = report_dir / f"metrics-{sample_type}.html"
+                metric_figs = figs.plot_sample_metrics(samples[sample_type], tsv_out)
+                write_html(htm_out, metric_figs, {})
 
-    # -- ORF calling --
-    if cfg.prodigal and samples["nucleotide"]:
-        from mercat2_tpu.orf import orf_call
+        # -- merged per-sample diversity (ref bin/mercat2.py:479-499) --
+        print("Gathering Diversity Metrics")
+        # reference merges per *type* across samples: diversity-{type}.tsv
+        by_type: dict[str, dict[str, Path]] = {}
+        for files in diversity_outputs.values():
+            for f in files:
+                typ, _, sample = f.stem.partition("-")  # "{type}-{sample}"
+                by_type.setdefault(typ, {})[sample] = f
+        for typ, tomerge in by_type.items():
+            if len(tomerge) >= 2:
+                key = "Nucleotide" if typ == "nucleotide" else typ
+                merge_tsv(tomerge, report_dir / f"diversity-{key}.tsv")
 
-        print(f"\nRunning ORF caller on {len(samples['nucleotide'])} files")
-        prodpath = out / "pyrodigal"
-        for basename, files in samples["nucleotide"].items():
-            ret = orf_call(basename, files[0], prodpath, engine="prodigal")
-            if ret:
-                samples["prodigal"][ret[0]] = [ret[1]]
-    if cfg.fgs and samples["nucleotide"]:
-        from mercat2_tpu.orf import orf_call
+        debug.stage("finish")
 
-        print(f"\nRunning FGS-style ORF caller on {len(samples['nucleotide'])} files")
-        fgspath = out / "fgs"
-        for basename, files in samples["nucleotide"].items():
-            ret = orf_call(basename, files[0], fgspath, engine="fgs")
-            if ret:
-                samples["fgs"][ret[0]] = [ret[1]]
-
-    # -- protein rounds --
-    for sample_type in ("protein", "prodigal", "fgs"):
-        process_round(sample_type, sample_type)
-
-    # -- report --
-    write_html(report_dir / "report.html", fig_plots, {})
-    for sample_type in ("protein", "fgs", "prodigal"):
-        if samples[sample_type]:
-            tsv_out = report_dir / f"metrics-{sample_type}.tsv"
-            htm_out = report_dir / f"metrics-{sample_type}.html"
-            metric_figs = figs.plot_sample_metrics(samples[sample_type], tsv_out)
-            write_html(htm_out, metric_figs, {})
-
-    # -- merged per-sample diversity (ref bin/mercat2.py:479-499) --
-    print("Gathering Diversity Metrics")
-    # reference merges per *type* across samples: diversity-{type}.tsv
-    by_type: dict[str, dict[str, Path]] = {}
-    for files in diversity_outputs.values():
-        for f in files:
-            typ, _, sample = f.stem.partition("-")  # "{type}-{sample}"
-            by_type.setdefault(typ, {})[sample] = f
-    for typ, tomerge in by_type.items():
-        if len(tomerge) >= 2:
-            key = "Nucleotide" if typ == "nucleotide" else typ
-            merge_tsv(tomerge, report_dir / f"diversity-{key}.tsv")
-
-    debug.stage("finish")
-    debug.__exit__(None, None, None)
+    with debug:  # always flush the jax profiler trace (try/finally)
+        _body()
     print("\nFinished MerCat2-TPU Pipeline")
     return out

@@ -135,7 +135,7 @@ def test_dispatch_streams_batched_parity():
     rng = random.Random(7)
     from mercat2_tpu.engine.codec import DNA_CODEC
 
-    for k in (3, 21):  # dense path and sorted path
+    for k in (3, 21):  # small (1-word) and multi-word key shapes
         counter = KmerCounter(k, DNA_CODEC)
         streams = []
         expected = []
