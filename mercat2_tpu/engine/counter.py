@@ -27,9 +27,15 @@ from mercat2_tpu.engine.codec import Codec, codec_for_bytes
 from mercat2_tpu.ops.kmer_pack import key_words_for
 
 __all__ = [
-    "KmerTable", "KmerCounter", "PendingCount", "count_file",
+    "KmerTable", "KmerCounter", "PendingCount", "PackedGroup", "count_file",
     "count_files_merged", "fetch_tables",
 ]
+
+#: symbols between consecutive records in the packed transport. One is
+#: enough: validity comes from gap *ranges* widened by k-1 on device
+#: (ops.finalize.packed_window_validity), not from sentinel codes, so any
+#: non-empty gap kills every window that would span the boundary.
+_REC_GAP = 1
 
 #: Streams are padded up to one of these sizes to bound recompilations.
 _MIN_BUCKET = 1 << 16
@@ -309,6 +315,98 @@ def fetch_tables(pendings: list) -> list[KmerTable]:
     return [p.table() for p in pendings]
 
 
+def _split_fid_tables(counter, small, n_out: int, mode: str, shift: int,
+                      n_files: int) -> list[KmerTable]:
+    """Fetched (words..., counts) columns -> per-file sorted tables.
+
+    Rows are sorted by (fid, key); the fid lives in the top bits of word 0
+    ("embedded"), in a dedicated leading word ("word"), or nowhere ("none",
+    single file)."""
+    if mode == "embedded":
+        fids = (small[0][:n_out] >> np.uint32(shift)).astype(np.int64)
+        cols = [np.ascontiguousarray(w[:n_out]) for w in small[:-1]]
+        cols[0] = cols[0] & np.uint32((1 << shift) - 1)
+    elif mode == "word":
+        fids = small[0][:n_out].astype(np.int64)
+        cols = [np.ascontiguousarray(w[:n_out]) for w in small[1:-1]]
+    else:  # "none": single file, no fid anywhere
+        fids = np.zeros(n_out, np.int64)
+        cols = [np.ascontiguousarray(w[:n_out]) for w in small[:-1]]
+    cnts = small[-1][:n_out]
+    bounds = np.searchsorted(fids, np.arange(n_files + 1))
+    return [
+        _sorted_table(
+            counter, [col[bounds[f] : bounds[f + 1]] for col in cols],
+            cnts[bounds[f] : bounds[f + 1]],
+            int(bounds[f + 1] - bounds[f]),
+        )
+        for f in range(n_files)
+    ]
+
+
+class _EmptyPending(PendingCount):
+    def __init__(self, k: int):
+        self._k = k
+
+    def table(self) -> KmerTable:
+        return KmerTable.empty(self._k)
+
+
+class _PendingPacked(PendingCount):
+    """Result of one packed-transport launch (ops.finalize
+    count_kmers_packed); splits rows per file at fetch time."""
+
+    def __init__(self, counter, dev_args, min_count, cap, mode, shift,
+                 n_files, n_sym, words, counts, n_out):
+        self._c = counter
+        self._dev = dev_args  # (dwords, dgb, dge, dstarts) for retries
+        self._min_count = min_count
+        self._cap = cap
+        self._mode = mode
+        self._shift = shift
+        self._n_files = n_files
+        self._n_sym = n_sym
+        self._out = (words, counts, n_out)
+        self._tables: list[KmerTable] | None = None
+
+    def prefetch(self) -> None:
+        _async_to_host(self._out[2])
+
+    def _fetch_all(self) -> None:
+        from mercat2_tpu.ops.finalize import count_kmers_packed
+
+        c = self._c
+        words, counts, n_out = self._out
+        n_out = int(n_out)
+        while n_out > self._cap:  # overflow: retry with room (rare)
+            self._cap = _bucket_size(n_out)
+            dwords, dgb, dge, dstarts = self._dev
+            words, counts, n_out = count_kmers_packed(
+                dwords, dgb, dge, dstarts, jnp.int32(self._min_count),
+                k=c.k, bits=c.codec.bits, alphabet_size=c.codec.size,
+                cap=self._cap, n_files=self._n_files, n_sym=self._n_sym,
+            )
+            n_out = int(n_out)
+        self._out = self._dev = None
+        if n_out == 0:
+            self._tables = [KmerTable.empty(c.k)] * self._n_files
+            return
+        m = min(self._cap, max(512, 1 << (n_out - 1).bit_length()))
+        small = jax.device_get(_take_prefix(tuple(words) + (counts,), m=m))
+        self._tables = _split_fid_tables(
+            c, small, n_out, self._mode, self._shift, self._n_files
+        )
+
+    def row_table(self, row: int) -> KmerTable:
+        if self._tables is None:
+            self._fetch_all()
+        return self._tables[row]
+
+    def table(self) -> KmerTable:
+        assert self._n_files == 1
+        return self.row_table(0)
+
+
 class _MultiView(PendingCount):
     """One file's slice of a combined multi-file launch."""
 
@@ -363,29 +461,103 @@ class _PendingMultiSorted:
             return
         m = min(self._cap, max(512, 1 << (n_out - 1).bit_length()))
         small = jax.device_get(_take_prefix(tuple(words) + (counts,), m=m))
-        if self._mode == "embedded":
-            fids = (small[0][:n_out] >> np.uint32(self._shift)).astype(np.int64)
-            cols = [np.ascontiguousarray(w[:n_out]) for w in small[:-1]]
-            cols[0] = cols[0] & np.uint32((1 << self._shift) - 1)
-        else:
-            fids = small[0][:n_out].astype(np.int64)
-            cols = [np.ascontiguousarray(w[:n_out]) for w in small[1:-1]]
-        cnts = small[-1][:n_out]
-        # rows are sorted by (fid, key): contiguous per-file slices
-        bounds = np.searchsorted(fids, np.arange(self._n_files + 1))
-        self._tables = [
-            _sorted_table(
-                c, [col[bounds[f] : bounds[f + 1]] for col in cols],
-                cnts[bounds[f] : bounds[f + 1]],
-                int(bounds[f + 1] - bounds[f]),
-            )
-            for f in range(self._n_files)
-        ]
+        self._tables = _split_fid_tables(
+            c, small, n_out, self._mode, self._shift, self._n_files
+        )
 
     def row_table(self, row: int) -> KmerTable:
         if self._tables is None:
             self._fetch_all()
         return self._tables[row]
+
+
+class NumpySource:
+    """Packed-transport source backed by host numpy arrays.
+
+    Mirrors the NativeFasta packed interface (packed_len / gap_ranges /
+    fill_packed) for files parsed without the C++ library, and for tests.
+    """
+
+    def __init__(self, seq: np.ndarray, rec: np.ndarray, codec: Codec):
+        self._codec = codec
+        if seq.shape[0]:
+            # drop empty records by construction: rec deltas > 1 mean empty
+            # records between; gap scales with the delta like the C++ side
+            boundary = np.empty(rec.shape[0], dtype=bool)
+            boundary[0] = True
+            np.not_equal(rec[1:], rec[:-1], out=boundary[1:])
+            starts = np.flatnonzero(boundary)
+            self._lens = np.diff(np.append(starts, rec.shape[0]))
+            self._deltas = np.diff(rec[starts]).astype(np.int64)  # per gap
+        else:
+            self._lens = np.zeros(0, np.int64)
+            self._deltas = np.zeros(0, np.int64)
+        self._codes = codec.encode(seq)
+
+    def packed_len(self, gap: int) -> int:
+        if self._lens.size == 0:
+            return 0
+        return int(self._codes.shape[0] + self._deltas.sum() * gap)
+
+    def gap_ranges(self, gap: int) -> tuple[np.ndarray, np.ndarray]:
+        if self._lens.size <= 1:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        gaps = self._deltas * gap
+        ends_of_rec = np.cumsum(self._lens[:-1] + gaps) - gaps
+        return ends_of_rec, ends_of_rec + gaps
+
+    def gapped_codes(self, gap: int) -> np.ndarray:
+        """uint8 code stream with `gap*delta` zero symbols between records."""
+        total = self.packed_len(gap)
+        out = np.zeros(total, np.uint8)
+        if self._lens.size == 0:
+            return out
+        gaps = self._deltas * gap
+        starts = np.concatenate(
+            [[0], np.cumsum(self._lens[:-1] + gaps)]
+        ).astype(np.int64)
+        src = 0
+        for s, ln in zip(starts, self._lens):
+            out[s : s + ln] = self._codes[src : src + ln]
+            src += ln
+        return out
+
+    def fill_packed(self, bits: int, gap: int, lut256_unused, words: np.ndarray,
+                    sym_off: int) -> int:
+        codes = self.gapped_codes(gap)
+        pack_codes_into(codes, words, sym_off, bits)
+        return codes.shape[0]
+
+    def close(self) -> None:
+        pass
+
+
+def pack_codes_into(codes: np.ndarray, words: np.ndarray, sym_off: int,
+                    bits: int) -> None:
+    """Big-endian bit-pack uint8 codes into a zeroed uint32 word buffer at
+    symbol offset ``sym_off`` (must be a multiple of 32//bits)."""
+    per = 32 // bits
+    assert sym_off % per == 0
+    n = codes.shape[0]
+    if n == 0:
+        return
+    w0 = sym_off // per
+    nw = -(-n // per)
+    mat = np.zeros((nw, per), np.uint32)
+    mat.reshape(-1)[:n] = codes
+    shifts = (32 - bits * (np.arange(per) + 1)).astype(np.uint32)
+    np.bitwise_or.reduce(mat << shifts, axis=1, out=words[w0 : w0 + nw])
+
+
+@dataclasses.dataclass
+class PackedGroup:
+    """Host-assembled transport buffer for one multi-file device launch."""
+
+    words: np.ndarray        # uint32[n_sym // per], big-endian packed codes
+    n_sym: int               # padded symbol count (bucket size)
+    file_starts: np.ndarray  # int32[n_files], symbol offset of each file
+    gap_begin: np.ndarray    # int32[G], half-open no-window symbol ranges
+    gap_end: np.ndarray      # (record gaps, inter-file gaps, tail padding)
 
 
 class KmerCounter:
@@ -582,6 +754,177 @@ class KmerCounter:
             self, dstream, dstarts, min_count, cap, mode, shift,
             n_files, words, counts, n_out,
         )
+
+    # -- packed transport (bit-packed h2d; the default when bits | 32) -----
+
+    def packable(self) -> bool:
+        """True when the codec supports the bit-packed transport."""
+        return 32 % self.codec.bits == 0
+
+    #: target combined symbols per packed launch group. Groups this size
+    #: keep XLA's sort below its superlinear range while letting the next
+    #: group's h2d overlap this group's device time (h2d and compute overlap
+    #: on the tunneled backend; transfers do not overlap each other).
+    _PACK_TARGET = 9 << 20
+
+    def source_for(self, path, nf=None):
+        """Packed-transport source for one file: native handle or numpy."""
+        if nf is not None:
+            return nf
+        from mercat2_tpu.io.native import open_fasta_native
+
+        try:
+            nf = open_fasta_native(path)
+        except OSError:
+            nf = None
+        if nf is not None:
+            return nf
+        from mercat2_tpu.io.fasta import parse_fasta_seq
+
+        seq, rec = parse_fasta_seq(path)
+        return NumpySource(seq, rec, self.codec)
+
+    def build_packed_group(self, sources: list, bucket: int | None = None,
+                           workers: int | None = None) -> PackedGroup | None:
+        """Assemble one transport buffer for several files.
+
+        File segments are word-aligned (so the native fillers write disjoint
+        uint32s and can run in parallel threads) and separated by >= 1 gap
+        symbol; record gaps, inter-file gaps and tail padding all become gap
+        ranges for the device-side validity mask. Returns None when no file
+        contributes a window.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        per = 32 // self.codec.bits
+        gap = _REC_GAP
+        lens = [s.packed_len(gap) for s in sources]
+        offs: list[int] = []
+        inter: list[tuple[int, int]] = []
+        off = 0
+        for i, length in enumerate(lens):
+            offs.append(off)
+            end = off + length
+            if i < len(lens) - 1:
+                noff = -(-(end + 1) // per) * per  # >=1 gap symbol, aligned
+                inter.append((end, noff))
+                off = noff
+            else:
+                off = end
+        total = off
+        if total < self.k:
+            return None
+        size = _bucket_size(total)
+        if bucket is not None:
+            size = max(size, bucket)
+        assert size % per == 0
+        words = np.zeros(size // per, np.uint32)
+        lut = self.codec.lut_encode()
+
+        def fill(i: int) -> None:
+            sources[i].fill_packed(self.codec.bits, gap, lut, words, offs[i])
+
+        if len(sources) > 1 and workers != 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(fill, range(len(sources))))
+        else:
+            for i in range(len(sources)):
+                fill(i)
+
+        gb: list[np.ndarray] = []
+        ge: list[np.ndarray] = []
+        for i, s in enumerate(sources):
+            b, e = s.gap_ranges(gap)
+            gb.append(np.asarray(b, np.int64) + offs[i])
+            ge.append(np.asarray(e, np.int64) + offs[i])
+        if inter:
+            b, e = zip(*inter)
+            gb.append(np.asarray(b, np.int64))
+            ge.append(np.asarray(e, np.int64))
+        gb.append(np.asarray([total], np.int64))
+        ge.append(np.asarray([size], np.int64))
+        gap_begin = np.concatenate(gb)
+        gap_end = np.concatenate(ge)
+        # pad the gap arrays to a power of two (>= 16) so a handful of
+        # compiled shapes cover every dataset; pads clamp to no-ops
+        g = max(16, 1 << (int(gap_begin.shape[0]) - 1).bit_length())
+        pad = g - gap_begin.shape[0]
+        noop = size + self.k
+        gap_begin = np.concatenate([gap_begin, np.full(pad, noop)])
+        gap_end = np.concatenate([gap_end, np.full(pad, noop)])
+        return PackedGroup(
+            words=words,
+            n_sym=size,
+            file_starts=np.asarray(offs, np.int32),
+            gap_begin=gap_begin.astype(np.int32),
+            gap_end=gap_end.astype(np.int32),
+        )
+
+    def dispatch_packed(self, group: PackedGroup, min_count: int = 1):
+        """Enqueue the device count of one packed group (non-blocking)."""
+        from mercat2_tpu.ops.finalize import count_kmers_packed, fid_layout
+
+        n_files = int(group.file_starts.shape[0])
+        p = group.n_sym - self.k + 1
+        cap = min(p, n_files * self._keyspace())
+        if min_count > 1:
+            cap = min(cap, max(_DEFAULT_CAP, 16384 * n_files))
+        if n_files == 1:
+            mode, shift = "none", 0
+        else:
+            mode, shift = fid_layout(self.k, self.codec.bits, n_files)
+        dev = (
+            jnp.asarray(group.words),
+            jnp.asarray(group.gap_begin),
+            jnp.asarray(group.gap_end),
+            jnp.asarray(group.file_starts),
+        )
+        words, counts, n_out = count_kmers_packed(
+            *dev, jnp.int32(min_count),
+            k=self.k, bits=self.codec.bits, alphabet_size=self.codec.size,
+            cap=cap, n_files=n_files, n_sym=group.n_sym,
+        )
+        return _PendingPacked(
+            self, dev, min_count, cap, mode, shift, n_files, group.n_sym,
+            words, counts, n_out,
+        )
+
+    def dispatch_packed_sources(
+        self, sources: list, min_count: int = 1, workers: int | None = None
+    ) -> list[PendingCount]:
+        """Group sources greedily to ~_PACK_TARGET symbols and dispatch each
+        group as one launch; returns one PendingCount per source, in order.
+
+        Group i+1's host assembly and h2d overlap group i's device work
+        (dispatch is asynchronous), which is the packed-path equivalent of
+        the reference's per-chunk Ray task overlap
+        (/root/reference/bin/mercat2.py:118-127)."""
+        lens = [s.packed_len(_REC_GAP) for s in sources]
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        cur_sym = 0
+        for i, length in enumerate(lens):
+            if cur and cur_sym + length > self._PACK_TARGET:
+                groups.append(cur)
+                cur, cur_sym = [], 0
+            cur.append(i)
+            cur_sym += length
+        if cur:
+            groups.append(cur)
+
+        results: list[PendingCount] = [None] * len(sources)  # type: ignore
+        for g in groups:
+            pg = self.build_packed_group([sources[i] for i in g],
+                                         workers=workers)
+            if pg is None:
+                for i in g:
+                    results[i] = _EmptyPending(self.k)
+                continue
+            multi = self.dispatch_packed(pg, min_count)
+            multi.prefetch()
+            for r, i in enumerate(g):
+                results[i] = _MultiView(multi, r)
+        return results
 
     def count_stream(self, stream: np.ndarray, min_count: int = 1) -> KmerTable:
         return self.dispatch_stream(stream, min_count).table()

@@ -77,6 +77,19 @@ def native_lib():
     ]
     lib.m2n_byte_hist.restype = None
     lib.m2n_byte_hist.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.m2n_packed_len.restype = ctypes.c_int64
+    lib.m2n_packed_len.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.m2n_gap_ranges.restype = ctypes.c_int64
+    lib.m2n_gap_ranges.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.m2n_fill_packed.restype = ctypes.c_int64
+    lib.m2n_fill_packed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64,
+    ]
     lib.m2n_parse_fastq.restype = ctypes.c_int
     lib.m2n_parse_fastq.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p)]
     for name, res in [
@@ -172,6 +185,39 @@ class NativeFasta:
             self._h, k,
             lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ))
+
+    @property
+    def num_records(self) -> int:
+        return int(self._lib.m2n_num_records(self._h))
+
+    def packed_len(self, gap: int) -> int:
+        """Gapped stream length in symbols for the packed transport."""
+        return int(self._lib.m2n_packed_len(self._h, gap))
+
+    def gap_ranges(self, gap: int) -> tuple[np.ndarray, np.ndarray]:
+        """Interior gap symbol ranges [begin, end), file-relative int64."""
+        cap = max(1, self.num_records)
+        begins = np.empty(cap, np.int64)
+        ends = np.empty(cap, np.int64)
+        n = int(self._lib.m2n_gap_ranges(
+            self._h, gap,
+            begins.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ))
+        return begins[:n], ends[:n]
+
+    def fill_packed(self, bits: int, gap: int, lut256: np.ndarray,
+                    words: np.ndarray, sym_off: int) -> int:
+        """Encode + bit-pack this file into ``words`` at symbol offset
+        ``sym_off`` (a multiple of 32//bits; buffer must be zeroed)."""
+        assert words.dtype == np.uint32 and words.flags.c_contiguous
+        lut = np.ascontiguousarray(lut256, dtype=np.uint8)
+        return int(self._lib.m2n_fill_packed(
+            self._h, bits, gap,
+            lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            sym_off,
         ))
 
     def seq_and_rec(self) -> tuple[np.ndarray, np.ndarray]:

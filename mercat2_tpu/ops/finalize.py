@@ -32,7 +32,8 @@ from mercat2_tpu.ops.kmer_pack import (
 )
 
 __all__ = [
-    "count_kmers_device", "count_kmers_multi_device", "fid_layout",
+    "count_kmers_device", "count_kmers_multi_device", "count_kmers_packed",
+    "fid_layout", "unpack_codes", "packed_window_validity",
     "dense_count_device",
 ]
 
@@ -80,6 +81,147 @@ def _select_first_positions(keep: jax.Array, p: int, cap: int) -> jax.Array:
     return merged[:cap]
 
 
+def _finalize_sorted(words, n_valid, min_count, cap: int):
+    """Shared post-sort reduction: RLE over the sorted key words, min-count
+    filter, compaction to the first ``cap`` surviving rows.
+
+    ``words`` is the tuple of sorted uint32 key columns (invalid windows
+    hold the all-ones key and sort last; ``n_valid`` is their count).
+    """
+    p = words[0].shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+    in_valid = pos < n_valid
+
+    # run boundaries over the sorted keys (first element is a boundary)
+    boundary = jnp.zeros((p,), bool).at[0].set(True)
+    for w in words:
+        boundary = boundary | jnp.concatenate(
+            [jnp.ones((1,), bool), w[1:] != w[:-1]]
+        )
+    boundary = boundary & in_valid
+
+    # run length of the run starting at each boundary = next boundary - pos
+    # (next-boundary-position via a reverse cummin over boundary positions)
+    bpos = jnp.where(boundary, pos, _I32MAX)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(bpos)))  # inclusive: >= own pos
+    nxt_excl = jnp.concatenate([nxt[1:], jnp.full((1,), _I32MAX, jnp.int32)])
+    run_len = jnp.minimum(nxt_excl, n_valid) - pos  # valid at boundaries
+
+    keep = boundary & (run_len >= jnp.asarray(min_count, jnp.int32))
+    n_out = jnp.sum(keep, dtype=jnp.int32)
+
+    kept_pos = _select_first_positions(keep, p, cap)
+    safe = jnp.minimum(kept_pos, p - 1)
+    out_words = tuple(w[safe] for w in words)
+    out_counts = jnp.where(kept_pos < p, run_len[safe], 0)
+    return out_words, out_counts, n_out
+
+
+def unpack_codes(packed: jax.Array, bits: int, n_sym: int) -> jax.Array:
+    """uint32[W] big-endian packed words -> uint32[n_sym] symbol codes.
+
+    Symbol 0 of a word sits in the word's most-significant ``bits`` bits,
+    matching the host packers (io.native / engine.counter). Requires
+    ``bits`` to divide 32 and ``n_sym == W * (32 // bits)``.
+    """
+    per = 32 // bits
+    assert packed.shape[0] * per == n_sym, (packed.shape, per, n_sym)
+    mask = jnp.uint32((1 << bits) - 1)
+    # expand each word to its `per` symbol lanes (broadcast + reshape; no
+    # gather), then shift each lane down by its in-word position
+    lanes = jnp.broadcast_to(packed[:, None], (packed.shape[0], per))
+    shifts = (32 - bits * (jax.lax.broadcasted_iota(
+        jnp.uint32, (1, per), 1) + 1)).astype(jnp.uint32)
+    return ((lanes >> shifts) & mask).reshape(n_sym)
+
+
+def packed_window_validity(
+    gap_begin: jax.Array, gap_end: jax.Array, k: int, p: int
+) -> jax.Array:
+    """bool[p]: window validity from half-open gap symbol ranges.
+
+    A window [i, i+k) is invalid iff it intersects any gap range [b, e),
+    i.e. i in [b-k+1, e) — the ranges widened left by k-1. Computed with a
+    difference array + one cumsum (the packed-transport replacement for the
+    sentinel scan in ops.kmer_pack.window_validity). Pad unused entries
+    with b == e >= p + k - 1: both edges clamp to p, a no-op.
+    """
+    b = jnp.clip(gap_begin.astype(jnp.int32) - (k - 1), 0, p)
+    e = jnp.clip(gap_end.astype(jnp.int32), 0, p)
+    e = jnp.maximum(e, b)
+    d = jnp.zeros((p + 1,), jnp.int32)
+    d = d.at[b].add(1)
+    d = d.at[e].add(-1)
+    return jax.lax.cumsum(d[:p]) == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bits", "alphabet_size", "cap", "n_files", "n_sym"),
+)
+def count_kmers_packed(
+    packed: jax.Array,
+    gap_begin: jax.Array,
+    gap_end: jax.Array,
+    file_starts: jax.Array,
+    min_count: jax.Array,
+    *,
+    k: int,
+    bits: int,
+    alphabet_size: int,
+    cap: int,
+    n_files: int,
+    n_sym: int,
+):
+    """Count k-mers of one launch group from a bit-packed transport buffer.
+
+    The h2d link is the dominant cost on tunneled single-chip setups
+    (measured ~30 ms/MB incompressible + ~25 ms per transfer; see
+    scripts/perf_probe.py), so the host ships ``bits``-per-symbol packed
+    words — 4x fewer bytes than the uint8 code stream for DNA — plus tiny
+    gap-range and file-start arrays, and the device unpacks. Record/file
+    separation is out-of-band: ``gap_begin/gap_end`` list the symbol ranges
+    (record gaps, inter-file alignment gaps, tail padding) that no valid
+    window may intersect; there are no sentinel codes in the packed data.
+
+    Otherwise identical semantics to :func:`count_kmers_multi_device`
+    (per-file fid-tagged sort keys, per-file min-count, reference semantics
+    /root/reference/lib/mercat2_kmers.py:73-76).
+    """
+    codes = unpack_codes(packed, bits, n_sym)
+    p = n_sym - k + 1
+    valid = packed_window_validity(gap_begin, gap_end, k, p)
+    payload = pack_kmer_words(codes, k, bits)
+
+    strip_tail = 0
+    if n_files == 1:
+        total_words, tiebreak = key_words_for(k, bits)
+        keyed = [jnp.where(valid, w, _ONES32) for w in payload]
+        if tiebreak:
+            keyed.append(jnp.where(valid, jnp.uint32(0), _ONES32))
+            strip_tail = 1
+    else:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+        fid = (
+            jnp.searchsorted(file_starts, pos, side="right").astype(jnp.uint32)
+            - 1
+        )
+        mode, shift = fid_layout(k, bits, n_files)
+        if mode == "embedded":
+            payload = [payload[0] | (fid << shift)] + payload[1:]
+            keyed = [jnp.where(valid, w, _ONES32) for w in payload]
+        else:
+            keyed = [jnp.where(valid, fid, _ONES32)]
+            keyed += [jnp.where(valid, w, _ONES32) for w in payload]
+        total_words = len(keyed)
+
+    words = jax.lax.sort(tuple(keyed), num_keys=total_words)
+    n_valid = jnp.sum(valid, dtype=jnp.int32)
+    return _finalize_sorted(
+        words[: len(words) - strip_tail], n_valid, min_count, cap
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "bits", "alphabet_size", "cap")
 )
@@ -120,36 +262,9 @@ def count_kmers_device(
     words = jax.lax.sort(tuple(keyed), num_keys=total_words)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
 
-    payload_words = total_words - int(tiebreak)
-    sorted_payload = words[:payload_words]
-
-    pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
-    in_valid = pos < n_valid
-
-    # run boundaries over the sorted keys (first element is a boundary)
-    boundary = jnp.zeros((p,), bool).at[0].set(True)
-    for w in sorted_payload:
-        boundary = boundary | jnp.concatenate(
-            [jnp.ones((1,), bool), w[1:] != w[:-1]]
-        )
-    boundary = boundary & in_valid
-
-    # run length of the run starting at each boundary = next boundary - pos
-    # (next-boundary-position via a reverse cummin over boundary positions)
-    bpos = jnp.where(boundary, pos, _I32MAX)
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(bpos)))  # inclusive: >= own pos
-    # exclusive "next boundary strictly after i": shift left by one
-    nxt_excl = jnp.concatenate([nxt[1:], jnp.full((1,), _I32MAX, jnp.int32)])
-    run_len = jnp.minimum(nxt_excl, n_valid) - pos  # valid at boundaries
-
-    keep = boundary & (run_len >= jnp.asarray(min_count, jnp.int32))
-    n_out = jnp.sum(keep, dtype=jnp.int32)
-
-    kept_pos = _select_first_positions(keep, p, cap)
-    safe = jnp.minimum(kept_pos, p - 1)
-    out_words = tuple(w[safe] for w in sorted_payload)
-    out_counts = jnp.where(kept_pos < p, run_len[safe], 0)
-    return out_words, out_counts, n_out
+    # the tie-break word (when present) is constant over valid rows; drop it
+    sorted_payload = words[: total_words - int(tiebreak)]
+    return _finalize_sorted(sorted_payload, n_valid, min_count, cap)
 
 
 def fid_layout(k: int, bits: int, n_files: int) -> tuple[str, int]:
@@ -227,28 +342,7 @@ def count_kmers_multi_device(
 
     words = jax.lax.sort(tuple(keyed), num_keys=total_words)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
-    in_valid = pos < n_valid
-
-    boundary = jnp.zeros((p,), bool).at[0].set(True)
-    for w in words:
-        boundary = boundary | jnp.concatenate(
-            [jnp.ones((1,), bool), w[1:] != w[:-1]]
-        )
-    boundary = boundary & in_valid
-
-    bpos = jnp.where(boundary, pos, _I32MAX)
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(bpos)))
-    nxt_excl = jnp.concatenate([nxt[1:], jnp.full((1,), _I32MAX, jnp.int32)])
-    run_len = jnp.minimum(nxt_excl, n_valid) - pos
-
-    keep = boundary & (run_len >= jnp.asarray(min_count, jnp.int32))
-    n_out = jnp.sum(keep, dtype=jnp.int32)
-
-    kept_pos = _select_first_positions(keep, p, cap)
-    safe = jnp.minimum(kept_pos, p - 1)
-    out_words = tuple(w[safe] for w in words)
-    out_counts = jnp.where(kept_pos < p, run_len[safe], 0)
-    return out_words, out_counts, n_out
+    return _finalize_sorted(words, n_valid, min_count, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alphabet_size"))

@@ -184,7 +184,7 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
     """
     from collections import deque
 
-    from mercat2_tpu.engine.counter import _MAX_DEVICE_K
+    from mercat2_tpu.engine.counter import _MAX_DEVICE_K, _REC_GAP
 
     jobs = [(basename, f) for basename, files in group.items() for f in files]
     if counter.k > _MAX_DEVICE_K:  # exact host fallback for pathological k
@@ -210,14 +210,29 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
         for name, tbl in zip(names, fetch_tables([p for _, p in batch])):
             tables[name].append(tbl)
 
+    packed = counter.packable()
+
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        futs = deque(
-            (basename, pool.submit(
-                _build_stream, f, counter, bucket, (handles or {}).pop(f, None)
-            ))
-            for basename, f in jobs
-        )
+        if packed:
+            futs = deque(
+                (basename, pool.submit(
+                    counter.source_for, f, (handles or {}).pop(f, None)
+                ))
+                for basename, f in jobs
+            )
+        else:
+            futs = deque(
+                (basename, pool.submit(
+                    _build_stream, f, counter, bucket,
+                    (handles or {}).pop(f, None),
+                ))
+                for basename, f in jobs
+            )
         inflight: deque = deque()
+
+        def drain() -> None:
+            if len(inflight) > window:  # drain the older half, batched
+                finish([inflight.popleft() for _ in range(len(inflight) // 2)])
 
         def flush(batch_names, batch_streams) -> None:
             for name, pending in zip(
@@ -225,27 +240,44 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
             ):
                 pending.prefetch()  # overlap the n_out roundtrip
                 inflight.append((name, pending))
-            if len(inflight) > window:  # drain the older half, batched
-                finish([inflight.popleft() for _ in range(len(inflight) // 2)])
+            drain()
+
+        def flush_packed(batch_names, batch_sources) -> None:
+            for name, pending in zip(
+                batch_names,
+                counter.dispatch_packed_sources(
+                    batch_sources, min_count, workers=workers
+                ),
+            ):
+                pending.prefetch()
+                inflight.append((name, pending))
+            for s in batch_sources:
+                s.close()
+            drain()
 
         batch_names: list[str] = []
-        batch_streams: list = []
-        batch_bytes = 0
+        batch_items: list = []
+        batch_syms = 0
+        flush_fn = flush_packed if packed else flush
+        target = counter._PACK_TARGET if packed else 512 * 2**20
         while futs:
             basename, fut = futs.popleft()
-            stream = fut.result()
-            if stream is None:
+            item = fut.result()
+            if item is None:
                 continue
             batch_names.append(basename)
-            batch_streams.append(stream)
-            batch_bytes += stream.shape[0]
+            batch_items.append(item)
+            batch_syms += (
+                item.packed_len(_REC_GAP) if packed else item.shape[0]
+            )
             # flush a launch group once enough rows accumulate (one device
-            # launch covers similar-sized rows; see dispatch_streams)
-            if len(batch_streams) >= 32 or batch_bytes > 512 * 2**20:
-                flush(batch_names, batch_streams)
-                batch_names, batch_streams, batch_bytes = [], [], 0
-        if batch_streams:
-            flush(batch_names, batch_streams)
+            # launch covers similar-sized rows; see dispatch_streams /
+            # dispatch_packed_sources, which regroup within the batch)
+            if len(batch_items) >= 32 or batch_syms > target:
+                flush_fn(batch_names, batch_items)
+                batch_names, batch_items, batch_syms = [], [], 0
+        if batch_items:
+            flush_fn(batch_names, batch_items)
         finish(list(inflight))
         inflight.clear()
 

@@ -247,6 +247,88 @@ int64_t m2n_fill_stream(M2NResult* r, int32_t k, const uint8_t* lut256,
   return pos;
 }
 
+// ---- bit-packed transport -------------------------------------------------
+//
+// The TPU h2d link is the bench bottleneck (~30 ms/MB on tunneled setups),
+// so the engine ships `bits`-per-symbol big-endian packed words instead of
+// uint8 codes. Record separation is out of band: consecutive non-empty
+// records are separated by `gap * (record-id delta)` zero symbols whose
+// positions the device learns through gap ranges (m2n_gap_ranges); symbol 0
+// of each word occupies its most-significant `bits` bits so numeric word
+// order == lexicographic symbol order (mercat2_tpu/ops/finalize.py
+// unpack_codes is the inverse).
+
+// Packed gapped stream length in symbols for a given inter-record gap.
+int64_t m2n_packed_len(M2NResult* r, int32_t gap) {
+  if (r->seq.empty()) return 0;
+  size_t nrec = r->starts.size();
+  int64_t first = -1, last = -1;
+  for (size_t i = 0; i < nrec; ++i) {
+    int64_t lo = r->starts[i];
+    int64_t hi = (i + 1 < nrec) ? r->starts[i + 1] : (int64_t)r->seq.size();
+    if (hi > lo) { if (first < 0) first = (int64_t)i; last = (int64_t)i; }
+  }
+  if (first < 0) return 0;
+  return (int64_t)r->seq.size() + (last - first) * (int64_t)gap;
+}
+
+// Interior gap ranges [begin, end) in gapped-symbol coordinates (relative
+// to this file's own origin). `begins`/`ends` must hold at least
+// m2n_num_records entries. Returns the number of ranges written.
+int64_t m2n_gap_ranges(M2NResult* r, int32_t gap,
+                       int64_t* begins, int64_t* ends) {
+  size_t nrec = r->starts.size();
+  int64_t pos = 0, prev_rec = -1, count = 0;
+  for (size_t i = 0; i < nrec; ++i) {
+    int64_t lo = r->starts[i];
+    int64_t hi = (i + 1 < nrec) ? r->starts[i + 1] : (int64_t)r->seq.size();
+    if (hi <= lo) continue;
+    if (prev_rec >= 0) {
+      int64_t g = (int64_t)gap * ((int64_t)i - prev_rec);
+      begins[count] = pos;
+      ends[count] = pos + g;
+      ++count;
+      pos += g;
+    }
+    prev_rec = (int64_t)i;
+    pos += hi - lo;
+  }
+  return count;
+}
+
+// Encode the parsed sequence through lut256 and write it `bits` per symbol
+// (bits in {1,2,4,8}; big-endian within each uint32) into `words`, starting
+// at absolute symbol offset `sym_off` (the caller aligns it to a word
+// boundary, i.e. a multiple of 32/bits). Gap symbols are skipped — `words`
+// must be zero-initialized. Returns symbols spanned (== m2n_packed_len).
+int64_t m2n_fill_packed(M2NResult* r, int32_t bits, int32_t gap,
+                        const uint8_t* lut256, uint32_t* words,
+                        int64_t sym_off) {
+  const int per = 32 / bits;
+  size_t nrec = r->starts.size();
+  int64_t pos = sym_off, prev_rec = -1;
+  for (size_t i = 0; i < nrec; ++i) {
+    int64_t lo = r->starts[i];
+    int64_t hi = (i + 1 < nrec) ? r->starts[i + 1] : (int64_t)r->seq.size();
+    if (hi <= lo) continue;
+    if (prev_rec >= 0) pos += (int64_t)gap * ((int64_t)i - prev_rec);
+    prev_rec = (int64_t)i;
+    const uint8_t* src = r->seq.data() + lo;
+    int64_t n = hi - lo, j = 0;
+    // word-accumulator loop: build each uint32 locally, one store per word
+    while (j < n) {
+      int64_t w = (pos + j) / per;
+      int slot = (int)((pos + j) % per);
+      uint32_t acc = words[w];
+      for (; slot < per && j < n; ++slot, ++j)
+        acc |= (uint32_t)lut256[src[j]] << (32 - bits * (slot + 1));
+      words[w] = acc;
+    }
+    pos += n;
+  }
+  return pos - sym_off;
+}
+
 // 256-bin byte histogram of the parsed sequence (for codec construction
 // without copying the seq buffer out).
 void m2n_byte_hist(M2NResult* r, int64_t* hist256) {
