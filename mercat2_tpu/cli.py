@@ -60,6 +60,9 @@ def parseargs(argv=None):
                         help="convert all input sequences to uppercase")
     parser.add_argument("-category_file", type=str, default=None, help=argparse.SUPPRESS)
     parser.add_argument("-debug", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("-mesh", type=str, default="auto",
+                        help="count-engine device mesh: 'auto' (all local "
+                        "devices), 'off' (single device), or a device count")
     parser.add_argument("-pca", action="store_true",
                         help="create interactive PCA plot of the samples "
                         "(minimum of 4 fasta files required)")
@@ -99,6 +102,7 @@ def main(argv=None):
         fgs=args.fgs,
         category_file=args.category_file,
         debug=args.debug,
+        mesh=args.mesh,
     )
     run_pipeline(cfg)
     return 0

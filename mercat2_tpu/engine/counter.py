@@ -407,6 +407,95 @@ class _PendingPacked(PendingCount):
         return self.row_table(0)
 
 
+class _PendingSegments:
+    """Result of one per-file-segment launch (ops.finalize
+    count_kmers_packed_segments): every file's (words, counts, n_out) comes
+    from ONE program; a speculative prefix slice is dispatched immediately
+    so the whole group costs a single host sync when no file overflows
+    ``KmerCounter._SPEC_ROWS`` (the overwhelmingly common case)."""
+
+    def __init__(self, counter, dev, min_count, seg_words, caps, flat, w_per):
+        self._c = counter
+        self._dev = dev
+        self._min_count = min_count
+        self._seg_words = seg_words
+        self._caps = caps
+        self._w_per = w_per
+        n_files = len(caps)
+        stride = w_per + 2
+        self._n_outs = [flat[f * stride + stride - 1] for f in range(n_files)]
+        self._cols = [
+            flat[f * stride : f * stride + w_per + 1] for f in range(n_files)
+        ]
+        spec_in: list = []
+        for cols in self._cols:
+            spec_in.extend(cols)
+        self._spec = _take_prefix(
+            tuple(spec_in), m=KmerCounter._SPEC_ROWS
+        )
+        self._tables: list[KmerTable] | None = None
+
+    def prefetch(self) -> None:
+        for n in self._n_outs:
+            _async_to_host(n)
+        for a in self._spec:
+            _async_to_host(a)
+
+    def _fetch_all(self) -> None:
+        from mercat2_tpu.ops.finalize import count_kmers_packed_segments
+
+        c = self._c
+        fetched = jax.device_get(tuple(self._n_outs) + tuple(self._spec))
+        n_files = len(self._caps)
+        n_outs = [int(v) for v in fetched[:n_files]]
+        spec = fetched[n_files:]
+
+        over = [f for f in range(n_files) if n_outs[f] > self._caps[f]]
+        if over:  # output capacity overflow: rerun with room (rare)
+            caps = tuple(
+                _bucket_size(n_outs[f]) if f in over else self._caps[f]
+                for f in range(n_files)
+            )
+            flat = count_kmers_packed_segments(
+                *self._dev, jnp.int32(self._min_count),
+                k=c.k, bits=c.codec.bits, alphabet_size=c.codec.size,
+                seg_words=self._seg_words, caps=caps,
+            )
+            stride = self._w_per + 2
+            self._caps = caps
+            self._n_outs = [
+                flat[f * stride + stride - 1] for f in range(n_files)
+            ]
+            self._cols = [
+                flat[f * stride : f * stride + self._w_per + 1]
+                for f in range(n_files)
+            ]
+            n_outs = [int(v) for v in jax.device_get(tuple(self._n_outs))]
+
+        tables: list[KmerTable] = []
+        w1 = self._w_per + 1
+        for f in range(n_files):
+            n = n_outs[f]
+            m_have = min(self._caps[f], KmerCounter._SPEC_ROWS)
+            if n <= m_have and not over:
+                cols = [a[:n] for a in spec[f * w1 : (f + 1) * w1]]
+            else:  # speculative miss: fetch this file's full prefix
+                m = min(self._caps[f], max(512, 1 << max(n - 1, 1).bit_length()))
+                cols = [
+                    a[:n] for a in jax.device_get(
+                        _take_prefix(tuple(self._cols[f]), m=m)
+                    )
+                ]
+            tables.append(_sorted_table(c, cols[:-1], cols[-1], n))
+        self._tables = tables
+        self._dev = None
+
+    def row_table(self, row: int) -> KmerTable:
+        if self._tables is None:
+            self._fetch_all()
+        return self._tables[row]
+
+
 class _MultiView(PendingCount):
     """One file's slice of a combined multi-file launch."""
 
@@ -860,6 +949,104 @@ class KmerCounter:
             gap_end=gap_end.astype(np.int32),
         )
 
+    def build_packed_group_segmented(self, sources: list) -> PackedGroup | None:
+        """Like :meth:`build_packed_group`, but each file's segment is padded
+        to its own eighth-pow2 symbol bucket (word-aligned), so the static
+        per-file segment shapes of ``count_kmers_packed_segments`` come from
+        a small bucketed family. Padding symbols are covered by gap ranges.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        per = 32 // self.codec.bits
+        gap = _REC_GAP
+        lens = [s.packed_len(gap) for s in sources]
+        offs: list[int] = []
+        seg_ends: list[int] = []
+        off = 0
+        for length in lens:
+            offs.append(off)
+            bucket = _bucket_size(max(length + 1, self.k + 1))
+            bucket = -(-bucket // per) * per
+            seg_ends.append(off + bucket)
+            off += bucket
+        size = off
+        words = np.zeros(size // per, np.uint32)
+        lut = self.codec.lut_encode()
+
+        def fill(i: int) -> None:
+            sources[i].fill_packed(self.codec.bits, gap, lut, words, offs[i])
+
+        if len(sources) > 1:
+            with ThreadPoolExecutor() as pool:
+                list(pool.map(fill, range(len(sources))))
+        else:
+            fill(0)
+
+        gb: list[np.ndarray] = []
+        ge: list[np.ndarray] = []
+        for i, s in enumerate(sources):
+            b, e = s.gap_ranges(gap)
+            gb.append(np.asarray(b, np.int64) + offs[i])
+            ge.append(np.asarray(e, np.int64) + offs[i])
+            # per-file tail padding [content end, bucket end)
+            gb.append(np.asarray([offs[i] + lens[i]], np.int64))
+            ge.append(np.asarray([seg_ends[i]], np.int64))
+        gap_begin = np.concatenate(gb)
+        gap_end = np.concatenate(ge)
+        g = max(16, 1 << (int(gap_begin.shape[0]) - 1).bit_length())
+        pad = g - gap_begin.shape[0]
+        noop = size + self.k
+        gap_begin = np.concatenate([gap_begin, np.full(pad, noop)])
+        gap_end = np.concatenate([gap_end, np.full(pad, noop)])
+        return PackedGroup(
+            words=words,
+            n_sym=size,
+            file_starts=np.asarray(offs, np.int32),
+            gap_begin=gap_begin.astype(np.int32),
+            gap_end=gap_end.astype(np.int32),
+        ), tuple(
+            (offs[i] // per, seg_ends[i] // per) for i in range(len(sources))
+        )
+
+    #: speculative rows fetched per file before n_out is known (one host
+    #: roundtrip covers n_out AND the table when n_out <= this; misses
+    #: trigger a second fetch for the affected files only)
+    _SPEC_ROWS = 8192
+
+    def dispatch_packed_segments(self, sources: list, min_count: int = 1):
+        """One launch, per-file segment sorts, ONE host sync for the whole
+        group (speculative prefix fetch). Returns list[PendingCount]."""
+        from mercat2_tpu.ops.finalize import count_kmers_packed_segments
+
+        built = self.build_packed_group_segmented(sources)
+        if built is None:
+            return [_EmptyPending(self.k) for _ in sources]
+        group, seg_words = built
+        per = 32 // self.codec.bits
+        caps = []
+        for w0, w1 in seg_words:
+            p = (w1 - w0) * per - self.k + 1
+            cap = min(p, self._keyspace())
+            if min_count > 1:
+                cap = min(cap, _DEFAULT_CAP)
+            caps.append(cap)
+        caps = tuple(caps)
+        dev = (
+            jnp.asarray(group.words),
+            jnp.asarray(group.gap_begin),
+            jnp.asarray(group.gap_end),
+        )
+        flat = count_kmers_packed_segments(
+            *dev, jnp.int32(min_count),
+            k=self.k, bits=self.codec.bits, alphabet_size=self.codec.size,
+            seg_words=seg_words, caps=caps,
+        )
+        w_per = len(flat) // len(sources) - 2  # words..., counts, n_out
+        multi = _PendingSegments(
+            self, dev, min_count, seg_words, caps, flat, w_per
+        )
+        return [_MultiView(multi, i) for i in range(len(sources))]
+
     def dispatch_packed(self, group: PackedGroup, min_count: int = 1):
         """Enqueue the device count of one packed group (non-blocking)."""
         from mercat2_tpu.ops.finalize import count_kmers_packed, fid_layout
@@ -889,22 +1076,26 @@ class KmerCounter:
             words, counts, n_out,
         )
 
+    #: max combined symbols per segmented launch (device-memory bound, not
+    #: a sort-size bound: segments sort separately inside the program)
+    _SEG_TARGET = 192 << 20
+
     def dispatch_packed_sources(
         self, sources: list, min_count: int = 1, workers: int | None = None
     ) -> list[PendingCount]:
-        """Group sources greedily to ~_PACK_TARGET symbols and dispatch each
-        group as one launch; returns one PendingCount per source, in order.
-
-        Group i+1's host assembly and h2d overlap group i's device work
-        (dispatch is asynchronous), which is the packed-path equivalent of
-        the reference's per-chunk Ray task overlap
+        """Dispatch all sources with as FEW launches as possible: one
+        per-file-segment program per ~_SEG_TARGET symbols (each file sorted
+        separately inside — XLA's sort is superlinear past ~8M rows, so
+        per-file sorts cost less than one combined fid-tagged sort AND the
+        whole group needs one launch + one host sync). The packed-path
+        equivalent of the reference's per-chunk Ray task overlap
         (/root/reference/bin/mercat2.py:118-127)."""
         lens = [s.packed_len(_REC_GAP) for s in sources]
         groups: list[list[int]] = []
         cur: list[int] = []
         cur_sym = 0
         for i, length in enumerate(lens):
-            if cur and cur_sym + length > self._PACK_TARGET:
+            if cur and cur_sym + length > self._SEG_TARGET:
                 groups.append(cur)
                 cur, cur_sym = [], 0
             cur.append(i)
@@ -914,16 +1105,12 @@ class KmerCounter:
 
         results: list[PendingCount] = [None] * len(sources)  # type: ignore
         for g in groups:
-            pg = self.build_packed_group([sources[i] for i in g],
-                                         workers=workers)
-            if pg is None:
-                for i in g:
-                    results[i] = _EmptyPending(self.k)
-                continue
-            multi = self.dispatch_packed(pg, min_count)
-            multi.prefetch()
+            pendings = self.dispatch_packed_segments(
+                [sources[i] for i in g], min_count
+            )
             for r, i in enumerate(g):
-                results[i] = _MultiView(multi, r)
+                results[i] = pendings[r]
+                results[i].prefetch()
         return results
 
     def count_stream(self, stream: np.ndarray, min_count: int = 1) -> KmerTable:

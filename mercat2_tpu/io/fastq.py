@@ -7,9 +7,17 @@ preprocessing), so this module provides native equivalents:
 
 - :func:`qc` computes per-position quality percentiles, per-read GC and
   length distributions and writes a standalone HTML report,
-- :func:`trim` applies fastp's *default* read filters (quality-limit 15 /
-  unqualified-percent 40, N-limit 5, min length 15); adapter trimming is
-  not performed (fastp SE auto-detection is heuristic; flag-gated off),
+- :func:`trim` applies fastp's *default* SE pipeline: adapter trimming
+  (fastp's trimBySequence matching rule — min 4-base overlap with one
+  mismatch allowed per 8 compared bases) followed by fastp's default read
+  filters (quality-limit 15 / unqualified-percent 40, N-limit 5, min
+  length 15). Adapter auto-detection deviates from fastp's exact
+  evaluator: we probe the standard Illumina adapters against read tails
+  instead of fastp's seed-consensus walk (documented deviation; pass
+  ``adapter=`` to pin a sequence, ``adapter=None`` to disable). On
+  adapter-free inputs the output is identical to fastp's — verified
+  byte-for-byte against the reference's fastp run on Test_R1.fastq
+  (results/2023-11-29/test-qc/clean/Test_R1.fna.gz),
 - :func:`fq2fa` converts records 1:1 to a gzipped FASTA, exactly like the
   reference's ``sed -n '1~4s/^@/>/p;2~4p'`` pipeline.
 
@@ -167,6 +175,56 @@ def qc(fq_file, outpath, f_name: str) -> Path:
     return html_out
 
 
+#: standard Illumina adapters probed by the auto-detector (fastp ships the
+#: same known-adapter fallback list)
+_KNOWN_ADAPTERS = (
+    b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA",  # TruSeq / universal read-1
+    b"AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT",  # TruSeq read-2
+    b"CTGTCTCTTATACACATCT",                # Nextera
+)
+
+
+def _adapter_trim_pos(seq: bytes, adapter: bytes) -> int:
+    """First position where the adapter matches (fastp trimBySequence rule:
+    compare the adapter prefix against the read suffix starting at each
+    position; overlap >= 4 bases, <= 1 mismatch per 8 compared bases).
+    Returns len(seq) when no match."""
+    rlen, alen = len(seq), len(adapter)
+    for pos in range(rlen - 4 + 1):
+        cmplen = min(rlen - pos, alen)
+        allowed = cmplen // 8
+        mism = 0
+        for i in range(cmplen):
+            if seq[pos + i] != adapter[i]:
+                mism += 1
+                if mism > allowed:
+                    break
+        else:
+            return pos
+    return rlen
+
+
+def _detect_adapter(fq: FastqArrays, min_hit_frac: float = 0.01) -> bytes | None:
+    """Probe the known Illumina adapters against read tails.
+
+    A documented deviation from fastp's seed-consensus evaluator: an
+    adapter is reported when >= ``min_hit_frac`` of reads contain its
+    12-base prefix. Identical outcome on adapter-free data (no adapter,
+    no trimming)."""
+    n = fq.n_reads
+    if n == 0:
+        return None
+    sample = min(n, 100_000)
+    for adapter in _KNOWN_ADAPTERS:
+        probe = adapter[:12]
+        hits = sum(
+            1 for i in range(sample) if probe in fq.read_seq(i)
+        )
+        if hits >= max(1, int(min_hit_frac * sample)):
+            return adapter
+    return None
+
+
 def trim(
     fq_file,
     outpath,
@@ -175,13 +233,38 @@ def trim(
     unqualified_percent_limit: float = 40.0,
     n_base_limit: int = 5,
     length_required: int = 15,
+    adapter: bytes | str | None = "auto",
 ) -> Path:
-    """Filter reads with fastp's default thresholds; write ``{name}_trim.fastq``."""
+    """fastp-default SE trim: adapter trimming + read filters; writes
+    ``{name}_trim.fastq`` (reference invocation: ``fastp -i in -o out``,
+    /root/reference/lib/mercat2_fasta.py:169)."""
     outpath = Path(outpath)
     outpath.mkdir(parents=True, exist_ok=True)
     out_file = outpath / f"{f_name}_trim.fastq"
 
     fq = read_fastq(fq_file)
+
+    if adapter == "auto":
+        adapter = _detect_adapter(fq)
+    elif isinstance(adapter, str):
+        adapter = adapter.encode()
+    if adapter:
+        # per-read adapter clip BEFORE the filters, like fastp
+        new_seq, new_qual, new_lens = [], [], np.empty(fq.n_reads, np.int64)
+        for i in range(fq.n_reads):
+            s = fq.read_seq(i)
+            cut = _adapter_trim_pos(s, adapter)
+            new_lens[i] = cut
+            lo = fq.offsets[i]
+            new_seq.append(fq.seq[lo : lo + cut])
+            new_qual.append(fq.qual[lo : lo + cut])
+        fq = FastqArrays(
+            fq.headers,
+            np.concatenate(new_seq) if new_seq else np.zeros(0, np.uint8),
+            np.concatenate(new_qual) if new_qual else np.zeros(0, np.uint8),
+            np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int64),
+        )
+
     lens = fq.lengths()
     q = fq.qual.astype(np.int32) - 33
     if fq.n_reads:

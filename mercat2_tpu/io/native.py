@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -28,6 +29,7 @@ _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _SO = _NATIVE_DIR / "libmercat2_native.so"
 _lib = None
 _lib_tried = False
+_lib_lock = threading.Lock()
 
 
 def build_native(quiet: bool = True) -> bool:
@@ -43,11 +45,25 @@ def build_native(quiet: bool = True) -> bool:
 
 
 def native_lib():
-    """Load (and memoize) the shared library; None if unavailable."""
+    """Load (and memoize) the shared library; None if unavailable.
+
+    Thread-safe: concurrent first calls (e.g. file parses fanned out over a
+    ThreadPoolExecutor) serialize on a lock instead of racing the memo —
+    the round-1 race set ``_lib_tried`` before ``_lib`` and made every
+    thread but the first fall back to the slow numpy parser."""
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
-    _lib_tried = True
+    with _lib_lock:
+        if _lib is not None or _lib_tried:
+            return _lib
+        lib = _load_lib()
+        _lib = lib
+        _lib_tried = True
+        return _lib
+
+
+def _load_lib():
     if not _SO.exists() and not build_native():
         return None
     try:
@@ -108,8 +124,7 @@ def native_lib():
     lib.m2n_fq_headers_ptr.argtypes = [ctypes.c_void_p]
     lib.m2n_fq_free.restype = None
     lib.m2n_fq_free.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return _lib
+    return lib
 
 
 def parse_fasta_native(path) -> tuple[np.ndarray, np.ndarray] | None:

@@ -34,7 +34,7 @@ from mercat2_tpu.ops.kmer_pack import (
 __all__ = [
     "count_kmers_device", "count_kmers_multi_device", "count_kmers_packed",
     "fid_layout", "unpack_codes", "packed_window_validity",
-    "dense_count_device",
+    "dense_count_device", "build_keyed_words", "finalize_sorted",
 ]
 
 _ONES32 = jnp.uint32(0xFFFFFFFF)
@@ -115,6 +115,50 @@ def _finalize_sorted(words, n_valid, min_count, cap: int):
     out_words = tuple(w[safe] for w in words)
     out_counts = jnp.where(kept_pos < p, run_len[safe], 0)
     return out_words, out_counts, n_out
+
+
+#: public alias (used by the sharded path in mercat2_tpu.parallel.count)
+def finalize_sorted(words, n_valid, min_count, cap: int):
+    """See :func:`_finalize_sorted`."""
+    return _finalize_sorted(words, n_valid, min_count, cap)
+
+
+def build_keyed_words(payload, valid, fid, k: int, bits: int,
+                      n_files: int) -> tuple[list, int]:
+    """Masked sort-key columns for a (possibly multi-file) window set.
+
+    Shared by the single-chip kernels and the sharded mesh path. Invalid
+    windows get the all-ones key in every word so they sort last; the
+    marker never collides with a real key because either (a) word 0 has
+    spare bits (fid field or short top word) that are never all-ones for
+    valid rows, or (b) an explicit all-zero tie-break word is appended
+    (``strip_tail`` = 1) exactly when the payload fills its words
+    (key_words_for semantics).
+
+    Args:
+        payload: list of uint32[P] packed key words (pack_kmer_words).
+        valid: bool[P] window validity.
+        fid: uint32[P] per-window file id (required when n_files > 1).
+        n_files: number of files sharing the stream.
+
+    Returns:
+        (keyed, strip_tail): sort-key columns (all of them are sort keys)
+        and how many trailing columns to drop before finalize/decode.
+    """
+    if n_files == 1:
+        _, tiebreak = key_words_for(k, bits)
+        keyed = [jnp.where(valid, w, _ONES32) for w in payload]
+        if tiebreak:
+            keyed.append(jnp.where(valid, jnp.uint32(0), _ONES32))
+        return keyed, int(tiebreak)
+    mode, shift = fid_layout(k, bits, n_files)
+    if mode == "embedded":
+        payload = [payload[0] | (fid << shift)] + payload[1:]
+        keyed = [jnp.where(valid, w, _ONES32) for w in payload]
+    else:
+        keyed = [jnp.where(valid, fid, _ONES32)]
+        keyed += [jnp.where(valid, w, _ONES32) for w in payload]
+    return keyed, 0
 
 
 def unpack_codes(packed: jax.Array, bits: int, n_sym: int) -> jax.Array:
@@ -220,6 +264,62 @@ def count_kmers_packed(
     return _finalize_sorted(
         words[: len(words) - strip_tail], n_valid, min_count, cap
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bits", "alphabet_size", "seg_words", "caps"),
+)
+def count_kmers_packed_segments(
+    packed: jax.Array,
+    gap_begin: jax.Array,
+    gap_end: jax.Array,
+    min_count: jax.Array,
+    *,
+    k: int,
+    bits: int,
+    alphabet_size: int,
+    seg_words: tuple,
+    caps: tuple,
+):
+    """Count EVERY file of a launch group in one program, one sorted-count
+    per file segment (no fid tagging, no combined sort).
+
+    ``seg_words`` is a static tuple of (word_start, word_end) packed-word
+    ranges, one per file (word-aligned by the host packer); ``caps`` the
+    per-file output capacities. Gap ranges are global symbol coordinates
+    and are re-based per segment (out-of-segment ranges clamp to no-ops).
+
+    Rationale vs the fid-tagged single sort (count_kmers_packed): XLA's
+    TPU sort is superlinear past ~8M rows, so sorting B files' windows
+    separately inside ONE compiled program costs ~linear total time AND
+    keeps one launch + one host sync for the whole group — the two
+    dominant costs on high-latency links. Per-file min-count semantics
+    (/root/reference/lib/mercat2_kmers.py:73-76) fall out for free.
+
+    Returns a flat tuple: for each file f, (words_f..., counts_f, n_out_f).
+    """
+    per = 32 // bits
+    out = []
+    for (w0, w1), cap in zip(seg_words, caps):
+        n_sym = (w1 - w0) * per
+        codes = unpack_codes(
+            jax.lax.slice_in_dim(packed, w0, w1), bits, n_sym
+        )
+        p = n_sym - k + 1
+        s0 = w0 * per
+        valid = packed_window_validity(
+            gap_begin - jnp.int32(s0), gap_end - jnp.int32(s0), k, p
+        )
+        payload = pack_kmer_words(codes, k, bits)
+        keyed, strip = build_keyed_words(payload, valid, None, k, bits, 1)
+        words = jax.lax.sort(tuple(keyed), num_keys=len(keyed))
+        n_valid = jnp.sum(valid, dtype=jnp.int32)
+        w, c, n = _finalize_sorted(
+            words[: len(words) - strip], n_valid, min_count, cap
+        )
+        out.extend(list(w) + [c, n])
+    return tuple(out)
 
 
 @functools.partial(

@@ -5,9 +5,11 @@ Mirrors the reference's two callers (/root/reference/lib/mercat2_fasta.py):
 - engine='prodigal': uses pyrodigal when importable (same outputs as the
   reference: .faa/.fna/.gff/.gbk, lines 202-244); otherwise the native
   finder writes .faa/.fna/.gff with prodigal-style headers.
-- engine='fgs': pipes through a FragGeneScanRs binary when on PATH (lines
-  248-290); otherwise the native finder writes a gzipped .faa with
-  FGS-style headers (``>{seqid}_{start}_{end}_{strand}``).
+- engine='fgs': pipes through the vendored FragGeneScanRs binary (the
+  reference bundles the same upstream release and extracts it on first
+  use, lines 248-290; we ship it pre-extracted under ``orf/vendor/``),
+  falling back to a PATH binary and then to the native finder (gzipped
+  .faa with FGS-style headers ``>{seqid}_{start}_{end}_{strand}``).
 """
 
 from __future__ import annotations
@@ -22,7 +24,18 @@ import numpy as np
 from mercat2_tpu.io.fasta import iter_fasta_records
 from mercat2_tpu.orf.native import find_orfs
 
-__all__ = ["orf_call"]
+__all__ = ["orf_call", "fgs_executable"]
+
+#: vendored FragGeneScanRs (upstream release 1.1.0, training data embedded;
+#: same binary the reference extracts from lib/FGS/FragGeneScanRS-linux.tar.gz)
+_VENDOR_FGS = Path(__file__).resolve().parent / "vendor" / "FragGeneScanRs"
+
+
+def fgs_executable() -> str | None:
+    """Path to a usable FragGeneScanRs binary, vendored copy first."""
+    if _VENDOR_FGS.is_file():
+        return str(_VENDOR_FGS)
+    return shutil.which("FragGeneScanRs")
 
 
 def orf_call(basename: str, fna_in, outpath, engine: str = "prodigal"):
@@ -36,8 +49,9 @@ def orf_call(basename: str, fna_in, outpath, engine: str = "prodigal"):
         except ImportError:
             return _native_prodigal_style(basename, fna_in, outpath)
     if engine == "fgs":
-        if shutil.which("FragGeneScanRs"):
-            return _fgs_call(basename, fna_in, outpath)
+        exe = fgs_executable()
+        if exe:
+            return _fgs_call(basename, fna_in, outpath, exe)
         return _native_fgs_style(basename, fna_in, outpath)
     raise ValueError(f"unknown ORF engine {engine!r}")
 
@@ -62,12 +76,14 @@ def _pyrodigal_call(basename, fna_in, outpath):
     return basename, faa
 
 
-def _fgs_call(basename, fna_in, outpath):
+def _fgs_call(basename, fna_in, outpath, exe="FragGeneScanRs"):
+    """Same invocation as the reference (mercat2_fasta.py:279-288):
+    ``zcat in | FragGeneScanRs --complete -t complete | gzip > out``."""
     faa_out = Path(outpath, f"{basename}.faa.gz")
     cat = ["zcat"] if str(fna_in).endswith(".gz") else ["cat"]
     pcat = subprocess.Popen(cat + [str(fna_in)], stdout=subprocess.PIPE)
     proc = subprocess.Popen(
-        ["FragGeneScanRs", "--complete", "-t", "complete"],
+        [exe, "--complete", "-t", "complete"],
         stdin=pcat.stdout, stdout=subprocess.PIPE, text=True,
     )
     with gzip.open(faa_out, "wt") as writer:

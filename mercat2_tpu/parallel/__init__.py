@@ -12,21 +12,26 @@ Replaces the reference's Ray local-cluster runtime
   histogram itself is sharded — partial histograms ``psum_scatter`` over the
   data axis so each device owns a contiguous bin range, replacing the
   reference's driver-side dict merge (/root/reference/bin/mercat2.py:121-127).
-- large-k sorted path: per-device local sort, ``all_gather`` + global merge
-  sort — a deterministic multi-chip reduction over ICI.
+- large-k sorted path: a scalable distributed sort-count — local sort,
+  sample-based splitter agreement, one ``all_to_all`` key-range shuffle,
+  then per-device RLE + min-count + compaction. Per-device work stays
+  O(N/D log N/D); the concatenated per-device tables ARE the global sorted
+  filtered count table (see mercat2_tpu.parallel.count).
 """
 
 from mercat2_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from mercat2_tpu.parallel.count import (
+    flat_mesh,
     shard_stream,
+    sharded_count_streams,
     sharded_dense_histogram,
-    sharded_sorted_kmer_keys,
 )
 
 __all__ = [
     "make_mesh",
     "mesh_shape_for",
+    "flat_mesh",
     "shard_stream",
+    "sharded_count_streams",
     "sharded_dense_histogram",
-    "sharded_sorted_kmer_keys",
 ]

@@ -14,9 +14,17 @@ Two reduction strategies:
   ``psum`` over ``data`` — each device ends up owning a contiguous bin range
   of the fully-merged histogram. Replaces the reference's driver dict merge
   (/root/reference/bin/mercat2.py:121-127).
-- sorted (large k): per-device rolling pack + local sort, ``all_gather`` +
-  global re-sort. Deterministic merge; the min-count filter is applied by
-  the caller AFTER this global merge (or per-chunk in compat mode).
+- sorted (large k): a scalable distributed sort-count. Each device locally
+  sorts its shard's keys, the devices agree on D-1 key-range splitters from
+  gathered samples, each device routes its sorted segments to their owner
+  with ONE ``all_to_all``, and every device then re-sorts only ~N/D rows and
+  runs the full RLE + min-count + compaction finalize locally. Because the
+  partition is by key range, every run of equal keys lands on exactly one
+  device, so per-device run lengths are globally exact and the concatenated
+  per-device tables are the globally sorted, already-filtered count table.
+  Work per device is O(N/D log N/D) + O(N/D) communication — the actual
+  distributed merge the reference approximates with its driver-side dict
+  merge (/root/reference/bin/mercat2.py:118-127).
 """
 
 from __future__ import annotations
@@ -36,7 +44,10 @@ from mercat2_tpu.ops.kmer_pack import (
     window_validity,
 )
 
-__all__ = ["shard_stream", "sharded_dense_histogram", "sharded_sorted_kmer_keys"]
+__all__ = [
+    "shard_stream", "sharded_dense_histogram", "sharded_count_streams",
+    "flat_mesh",
+]
 
 _ONES32 = jnp.uint32(0xFFFFFFFF)
 
@@ -104,53 +115,216 @@ def sharded_dense_histogram(
     return np.asarray(hist)[:nbins].astype(np.int64)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bits", "alphabet_size", "mesh"))
-def _sorted_keys_sharded(shards, *, k: int, bits: int, alphabet_size: int, mesh: Mesh):
-    total_words, tiebreak = key_words_for(k, bits)
+#: samples taken per device for splitter agreement. More samples -> tighter
+#: load balance; D*S uint32s ride one tiny all_gather either way.
+_SAMPLES = 64
 
-    def step(local):  # uint8[1, 1, row]
-        row = local[0, 0]
+
+def _sort_words_for(k: int, bits: int, n_files: int) -> tuple[int, int]:
+    """(total sort-key words, trailing words stripped after the sort) for
+    build_keyed_words' column layout."""
+    from mercat2_tpu.ops.finalize import fid_layout
+
+    payload = max(1, -(-(k * bits) // 32))
+    if n_files == 1:
+        _, tiebreak = key_words_for(k, bits)
+        return payload + int(tiebreak), int(tiebreak)
+    mode, _ = fid_layout(k, bits, n_files)
+    return payload + (1 if mode == "word" else 0), 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bits", "alphabet_size", "cap", "n_files",
+                     "seg_cap", "mesh"),
+)
+def _sharded_count_device(shards, file_starts, min_count, *, k: int,
+                          bits: int, alphabet_size: int, cap: int,
+                          n_files: int, seg_cap: int, mesh: Mesh):
+    """The distributed sort-count program (see module docstring).
+
+    shards: uint8[D, L + k - 1] haloed rows (shard_stream layout).
+    Returns per-device stacked (words..., counts, n_out, n_dropped):
+    device d's table rows cover an exclusive key range that ascends with d,
+    so the concatenation of the d-th prefixes is the global sorted table.
+    ``n_dropped`` > 0 means a routing segment overflowed ``seg_cap``
+    (extreme key skew); the caller must retry with a larger factor.
+    """
+    from mercat2_tpu.ops.finalize import build_keyed_words, finalize_sorted
+
+    axis = mesh.axis_names[0]
+    D = mesh.shape[axis]
+    L = shards.shape[-1] - k + 1
+
+    def step(local, starts, minc):
+        row = local[0]
+        d = jax.lax.axis_index(axis)
         valid = window_validity(row, k, alphabet_size)
         payload = pack_kmer_words(row.astype(jnp.uint32), k, bits)
-        keyed = [jnp.where(valid, w, _ONES32) for w in payload]
-        if tiebreak:
-            keyed.append(jnp.where(valid, jnp.uint32(0), _ONES32))
-        local_sorted = jax.lax.sort(tuple(keyed), num_keys=total_words)
-        # deterministic global merge: gather every device's sorted run and
-        # re-sort (XLA lowers to a single fused sort over the gathered keys)
-        gathered = [
-            jax.lax.all_gather(w, ("data", "bins"), tiled=True) for w in local_sorted
-        ]
-        final = jax.lax.sort(tuple(gathered), num_keys=total_words)
-        n_valid = jax.lax.psum(jnp.sum(valid, dtype=jnp.int32), ("data", "bins"))
-        return tuple(f[None] for f in final) + (n_valid[None],)
+        if n_files > 1:
+            pos_g = d * L + jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+            fid = (
+                jnp.searchsorted(starts, pos_g, side="right") - 1
+            ).astype(jnp.uint32)
+        else:
+            fid = None
+        keyed, strip = build_keyed_words(payload, valid, fid, k, bits, n_files)
+        W = len(keyed)
+        words = jax.lax.sort(tuple(keyed), num_keys=W)
+        n_valid = jnp.sum(valid, dtype=jnp.int32)
+        word0 = words[0]
 
-    out = shard_map(
+        # --- splitter agreement: S regular samples of the valid prefix ---
+        ranks = ((jax.lax.broadcasted_iota(jnp.int32, (_SAMPLES,), 0) + 1)
+                 * n_valid) // (_SAMPLES + 1)
+        smp = word0[jnp.clip(ranks, 0, L - 1)]
+        allsmp = jax.lax.sort(jax.lax.all_gather(smp, axis, tiled=True))
+        spl_ranks = (jax.lax.broadcasted_iota(jnp.int32, (D - 1,), 0) + 1) * _SAMPLES
+        splitters = allsmp[spl_ranks]  # uint32[D-1], ascending
+
+        # --- local segments owned by each destination device -------------
+        # side='right': keys equal to a splitter all go to the lower device,
+        # so a run of equal keys is never split across devices.
+        bounds = jnp.minimum(
+            jnp.searchsorted(word0, splitters, side="right").astype(jnp.int32),
+            n_valid,
+        )
+        seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds])
+        seg_end = jnp.concatenate([bounds, n_valid[None]])
+        seg_len = seg_end - seg_start
+        sent = jnp.minimum(seg_len, seg_cap)
+        n_dropped = jax.lax.psum(jnp.sum(seg_len - sent), axis)
+
+        # --- route: one all_to_all of [D, seg_cap] per key word ----------
+        idx = seg_start[:, None] + jax.lax.broadcasted_iota(
+            jnp.int32, (D, seg_cap), 1
+        )
+        mask = idx < jnp.minimum(seg_end, seg_start + seg_cap)[:, None]
+        idxc = jnp.minimum(idx, L - 1)
+        recv = [
+            jax.lax.all_to_all(
+                jnp.where(mask, w[idxc], _ONES32), axis,
+                split_axis=0, concat_axis=0,
+            ).reshape(D * seg_cap)
+            for w in words
+        ]
+        n_recv = jnp.sum(
+            jax.lax.all_to_all(sent, axis, split_axis=0, concat_axis=0),
+            dtype=jnp.int32,
+        )
+
+        # --- local exact finalize on ~N/D rows ----------------------------
+        merged = jax.lax.sort(tuple(recv), num_keys=W)
+        out_words, out_counts, n_out = finalize_sorted(
+            merged[: W - strip], n_recv, minc, cap
+        )
+        return (
+            tuple(w[None] for w in out_words)
+            + (out_counts[None], n_out[None], n_dropped[None])
+        )
+
+    total_w, strip_w = _sort_words_for(k, bits, n_files)
+    word_specs = tuple([P(axis, None)] * (total_w - strip_w))
+    return shard_map(
         step,
         mesh=mesh,
-        in_specs=P(("data", "bins"), None),
-        out_specs=tuple([P(("data", "bins"), None)] * total_words)
-        + (P(("data", "bins")),),
-    )(shards.reshape(mesh.size, 1, shards.shape[-1]))
-    words, n_valid = out[:-1], out[-1]
-    # every row holds the same replicated result; take row 0
-    return tuple(w[0] for w in words), n_valid[0]
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=word_specs + (P(axis, None), P(axis), P(axis)),
+    )(shards, file_starts, min_count)
 
 
-def sharded_sorted_kmer_keys(
-    shards: np.ndarray, *, k: int, bits: int, alphabet_size: int, mesh: Mesh
-):
-    """Globally sorted packed key words from haloed shards (+ valid count).
+def flat_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D ('shards',) mesh over the first n devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    return Mesh(np.asarray(devices[:n_devices]), axis_names=("shards",))
 
-    Output matches single-device ``ops.kmer_pack.sorted_kmer_keys`` on the
-    unsharded stream: uint32 word columns sorted lexicographically with
-    invalid windows (all-ones keys) at the end.
+
+def sharded_count_streams(counter, streams: list, min_count: int,
+                          mesh: Mesh | None = None, *,
+                          overprovision: float = 2.0) -> list:
+    """Count several files' code streams across a device mesh; one exact,
+    min-count-filtered, lexicographically sorted KmerTable per file.
+
+    This is the mesh-parallel equivalent of
+    ``KmerCounter.dispatch_streams(...) + fetch_tables`` — identical output
+    (per-file filter semantics, /root/reference/lib/mercat2_kmers.py:73-76),
+    computed with O(N/D) per-device work and one all_to_all. Retries with
+    larger routing capacity on pathological key skew, and with a larger
+    output cap on table overflow.
+
+    ``counter`` is a KmerCounter (k + codec); ``streams`` are raw uint8 code
+    streams (trailing sentinel padding is fine).
     """
-    arr = jax.device_put(
-        jnp.asarray(shards.reshape(mesh.size, 1, shards.shape[-1])),
-        NamedSharding(mesh, P(("data", "bins"), None, None)),
+    from mercat2_tpu.engine.counter import (
+        KmerTable, _split_fid_tables, _trim_sentinels,
     )
-    words, n_valid = _sorted_keys_sharded(
-        arr, k=k, bits=bits, alphabet_size=alphabet_size, mesh=mesh
+    from mercat2_tpu.ops.finalize import fid_layout
+
+    if mesh is None:
+        mesh = flat_mesh()
+    axis = mesh.axis_names[0]
+    D = int(mesh.shape[axis])
+    k, codec = counter.k, counter.codec
+    n_files = len(streams)
+    if n_files == 0:
+        return []
+
+    trimmed = [_trim_sentinels(s, codec.sentinel) for s in streams]
+    live = [i for i, t in enumerate(trimmed) if t.shape[0] >= k]
+    if not live:
+        return [KmerTable.empty(k)] * n_files
+    combined, starts = counter._combine_streams([trimmed[i] for i in live])
+    shards = shard_stream(combined, k, D, codec.sentinel)
+    L = shards.shape[1] - k + 1
+
+    if len(live) == 1:
+        mode, shift = "none", 0
+    else:
+        mode, shift = fid_layout(k, codec.bits, len(live))
+
+    sharding = NamedSharding(mesh, P(axis, None))
+    dshards = jax.device_put(jnp.asarray(shards), sharding)
+    dstarts = jnp.asarray(starts.astype(np.int32))
+    cap = min(L, max(1 << 14, counter._keyspace() // max(1, D)))
+    if min_count > 1:
+        from mercat2_tpu.engine.counter import _DEFAULT_CAP
+
+        cap = min(cap, _DEFAULT_CAP)
+    over = overprovision
+    while True:
+        seg_cap = max(128, int(over * L / D + 127) // 128 * 128)
+        seg_cap = min(seg_cap, L)
+        out = _sharded_count_device(
+            dshards, dstarts, jnp.int32(min_count),
+            k=k, bits=codec.bits, alphabet_size=codec.size, cap=cap,
+            n_files=len(live), seg_cap=seg_cap, mesh=mesh,
+        )
+        n_out = np.asarray(out[-2])
+        n_dropped = int(np.asarray(out[-1])[0])
+        if n_dropped > 0:
+            if seg_cap >= L:  # cannot grow further; should be impossible
+                raise RuntimeError("sharded count: segment overflow at L")
+            over *= 2.0
+            continue
+        if int(n_out.max()) > cap:
+            cap = int(1 << int(n_out.max() - 1).bit_length())
+            continue
+        break
+
+    word_cols = [np.asarray(w) for w in out[:-3]]  # each [D, cap]
+    counts = np.asarray(out[-3])  # [D, cap]
+    cols_full = [
+        np.concatenate([w[d, : n_out[d]] for d in range(D)])
+        for w in word_cols
+    ]
+    counts_full = np.concatenate([counts[d, : n_out[d]] for d in range(D)])
+    total = int(n_out.sum())
+    tables = _split_fid_tables(
+        counter, cols_full + [counts_full], total, mode, shift, len(live)
     )
-    return [np.asarray(w) for w in words], int(n_valid)
+    result = [KmerTable.empty(k)] * n_files
+    for row, i in enumerate(live):
+        result[i] = tables[row]
+    return result

@@ -69,6 +69,13 @@ class PipelineConfig:
     fgs: bool = False  # -fgs: second ORF annotation round (native finder)
     category_file: str | None = None
     debug: bool = False
+    #: device-mesh policy for the count engine: "auto" shards counting over
+    #: all local devices when more than one is visible (single chip: the
+    #: async single-device engine), "off" forces single-device, an integer
+    #: string uses exactly that many devices. The TPU-native replacement
+    #: for the reference's Ray worker count (-n), which governed CPU task
+    #: parallelism (/root/reference/bin/mercat2.py:217).
+    mesh: str = "auto"
 
 
 def _file_ext(path: Path) -> str:
@@ -167,9 +174,92 @@ def _build_stream(path, counter: KmerCounter, bucket: int | None, nf=None):
     return counter.build_stream(seq, rec, bucket)
 
 
+def _resolve_mesh(policy: str):
+    """PipelineConfig.mesh -> a flat device mesh or None (single-device)."""
+    if policy == "off":
+        return None
+    import jax
+
+    try:
+        n = len(jax.devices())
+    except Exception:
+        return None
+    want = n if policy == "auto" else min(int(policy), n)
+    if want <= 1:
+        return None
+    from mercat2_tpu.parallel import flat_mesh
+
+    return flat_mesh(want)
+
+
+def _count_group_mesh(group: dict, counter: KmerCounter, min_count: int,
+                      out_tsv_dir: Path, bucket, workers, handles,
+                      mesh) -> dict:
+    """Mesh-sharded counting for one sample group (multi-device runs).
+
+    Streams build in host threads; each batch of files is counted in ONE
+    sharded device program (splitter-partitioned distributed sort, see
+    mercat2_tpu.parallel.count) that returns exact per-file filtered
+    tables. Device-side work scales O(N/D) per device — the replacement
+    for the reference's Ray fan-out across CPU workers
+    (/root/reference/bin/mercat2.py:115-137).
+    """
+    from mercat2_tpu.parallel import sharded_count_streams
+
+    jobs = [(basename, f) for basename, files in group.items() for f in files]
+    tables: dict[str, list] = {basename: [] for basename in group}
+    tsv_list: dict[str, Path] = {}
+    target_syms = 256 << 20
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [
+            (basename, pool.submit(
+                _build_stream, f, counter, None, (handles or {}).pop(f, None)
+            ))
+            for basename, f in jobs
+        ]
+        batch_names: list[str] = []
+        batch_streams: list = []
+        batch_syms = 0
+
+        def flush() -> None:
+            nonlocal batch_names, batch_streams, batch_syms
+            if not batch_streams:
+                return
+            for name, tbl in zip(
+                batch_names,
+                sharded_count_streams(counter, batch_streams, min_count, mesh),
+            ):
+                tables[name].append(tbl)
+            batch_names, batch_streams, batch_syms = [], [], 0
+
+        for basename, fut in futs:
+            stream = fut.result()
+            if stream is None:
+                continue
+            batch_names.append(basename)
+            batch_streams.append(stream)
+            batch_syms += stream.shape[0]
+            if len(batch_streams) >= 32 or batch_syms > target_syms:
+                flush()
+        flush()
+
+    for basename in group:
+        merged = merge_tables(tables[basename], counter.k)
+        if len(merged):
+            print(f"Significant k-mers: {len(merged)}")
+            tsv_list[basename] = write_counts_tsv(
+                merged, basename, out_tsv_dir / f"{basename}_counts.tsv"
+            )
+        else:
+            print("No significant k-mers found")
+    return tsv_list
+
+
 def _count_group(group: dict, counter: KmerCounter, min_count: int,
                  out_tsv_dir: Path, bucket: int | None,
-                 workers: int | None, handles: dict | None = None) -> dict:
+                 workers: int | None, handles: dict | None = None,
+                 mesh=None) -> dict:
     """Count every sample of a group through a host/device pipeline.
 
     Three overlapping stages (the TPU-native analogue of the reference's
@@ -187,6 +277,11 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
     from mercat2_tpu.engine.counter import _MAX_DEVICE_K, _REC_GAP
 
     jobs = [(basename, f) for basename, files in group.items() for f in files]
+    if mesh is not None and counter.k <= _MAX_DEVICE_K:
+        return _count_group_mesh(
+            group, counter, min_count, out_tsv_dir, bucket, workers,
+            handles, mesh,
+        )
     if counter.k > _MAX_DEVICE_K:  # exact host fallback for pathological k
         tsv_list = {}
         for basename, files in group.items():
@@ -318,16 +413,32 @@ def _create_figures(tsv_list: dict, type_string: str, out_path: Path,
 
 
 def run_pipeline(cfg: PipelineConfig) -> Path:
+    # Multi-host: every host runs this same program; jax.distributed forms
+    # the process group (the Ray-cluster replacement, SURVEY §5). Hosts own
+    # disjoint input slices (host_shard below), write per-sample artifacts
+    # to the shared output tree, and the coordinator alone writes combined
+    # TSVs/figures/report — replacing the reference's single Ray driver
+    # (/root/reference/bin/mercat2.py:217,336-339).
+    from mercat2_tpu.parallel.dist import (
+        barrier, host_shard, init_distributed, is_coordinator,
+    )
+
+    multi = init_distributed()
+    coordinator = (not multi) or is_coordinator()
+
     out = Path(cfg.output)
-    if out.exists():
-        if cfg.replace:
-            shutil.rmtree(out)
-        else:
-            raise SystemExit(
-                f"Output folder exists, please specify another folder or use "
-                f"'-replace' to override the files. '{out}'"
-            )
-    out.mkdir(parents=True, exist_ok=True)
+    if coordinator:
+        if out.exists():
+            if cfg.replace:
+                shutil.rmtree(out)
+            else:
+                raise SystemExit(
+                    f"Output folder exists, please specify another folder or use "
+                    f"'-replace' to override the files. '{out}'"
+                )
+        out.mkdir(parents=True, exist_ok=True)
+    if multi:
+        barrier("outdir")
 
     from mercat2_tpu.utils import DebugTrace, enable_compilation_cache
 
@@ -364,9 +475,13 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
             cleaned, stat = remove_n(path, cleanpath, cfg.toupper)
             return basename, cleaned, stat
 
+        inputs = _discover_inputs(cfg)
+        if multi:
+            # deterministic per-host file ownership (no task queue needed)
+            inputs = host_shard(inputs)
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = []
-            for path in _discover_inputs(cfg):
+            for path in inputs:
                 path = Path(path).expanduser().absolute()
                 ext = _file_ext(path)
                 basename = path.name.removesuffix(ext)
@@ -426,12 +541,46 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
                 # by up to 2x versus padding every file to the group max.
                 try:
                     tsv_list = _count_group(group, counter, cfg.min_count,
-                                            out_tsv, None, workers, handles)
+                                            out_tsv, None, workers, handles,
+                                            mesh=_resolve_mesh(cfg.mesh))
                 finally:
                     for nf in handles.values():  # any not consumed by a build
                         nf.close()
             print(f"Time to count {cfg.kmer}-mers: {round(time.perf_counter() - t0, 2)} seconds")
             debug.stage(f"count {type_string}")
+
+            if multi:
+                # per-sample artifacts (alpha diversity) for OWN samples,
+                # then sync; the coordinator re-reads every host's TSVs
+                # from the shared tree for the combined stage.
+                div_dir = report_dir / "diversity"
+                div_dir.mkdir(parents=True, exist_ok=True)
+                prefix = ("nucleotide" if sample_type == "nucleotide"
+                          else sample_type)
+                for basename, tsv in tsv_list.items():
+                    outfile = div_dir / f"{prefix}-{basename}.tsv"
+                    compute_alpha_diversity(basename, tsv, outfile)
+                    diversity_outputs.setdefault(basename, []).append(outfile)
+                barrier(f"count-{type_string}")
+                if not coordinator:
+                    return
+                tsv_list = {
+                    f.name.removesuffix("_counts.tsv"): f
+                    for f in sorted(out_tsv.glob("*_counts.tsv"))
+                }
+                if tsv_list:
+                    fig_plots.update(
+                        _create_figures(tsv_list, type_string, out, cfg)
+                    )
+                    beta_dir = report_dir / (
+                        "diversity" if sample_type == "nucleotide"
+                        else "beta_diversity"
+                    )
+                    compute_beta_diversity(
+                        type_string, out / f"combined_{type_string}_T.tsv",
+                        beta_dir,
+                    )
+                return
 
             if tsv_list:
                 fig_plots.update(_create_figures(tsv_list, type_string, out, cfg))
@@ -478,27 +627,37 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
         for sample_type in ("protein", "prodigal", "fgs"):
             process_round(sample_type, sample_type)
 
-        # -- report --
-        write_html(report_dir / "report.html", fig_plots, {})
-        for sample_type in ("protein", "fgs", "prodigal"):
-            if samples[sample_type]:
-                tsv_out = report_dir / f"metrics-{sample_type}.tsv"
-                htm_out = report_dir / f"metrics-{sample_type}.html"
-                metric_figs = figs.plot_sample_metrics(samples[sample_type], tsv_out)
-                write_html(htm_out, metric_figs, {})
+        if multi:
+            barrier("rounds")
+        if coordinator:
+            # -- report --
+            write_html(report_dir / "report.html", fig_plots, {})
+            for sample_type in ("protein", "fgs", "prodigal"):
+                if samples[sample_type]:
+                    tsv_out = report_dir / f"metrics-{sample_type}.tsv"
+                    htm_out = report_dir / f"metrics-{sample_type}.html"
+                    metric_figs = figs.plot_sample_metrics(samples[sample_type], tsv_out)
+                    write_html(htm_out, metric_figs, {})
 
-        # -- merged per-sample diversity (ref bin/mercat2.py:479-499) --
-        print("Gathering Diversity Metrics")
-        # reference merges per *type* across samples: diversity-{type}.tsv
-        by_type: dict[str, dict[str, Path]] = {}
-        for files in diversity_outputs.values():
-            for f in files:
+            # -- merged per-sample diversity (ref bin/mercat2.py:479-499) --
+            print("Gathering Diversity Metrics")
+            if multi:
+                # every host wrote {type}-{sample}.tsv to the shared tree
+                div_files = sorted((report_dir / "diversity").glob("*-*.tsv"))
+            else:
+                div_files = [f for files in diversity_outputs.values()
+                             for f in files]
+            # reference merges per *type* across samples: diversity-{type}.tsv
+            by_type: dict[str, dict[str, Path]] = {}
+            for f in div_files:
                 typ, _, sample = f.stem.partition("-")  # "{type}-{sample}"
                 by_type.setdefault(typ, {})[sample] = f
-        for typ, tomerge in by_type.items():
-            if len(tomerge) >= 2:
-                key = "Nucleotide" if typ == "nucleotide" else typ
-                merge_tsv(tomerge, report_dir / f"diversity-{key}.tsv")
+            for typ, tomerge in by_type.items():
+                if len(tomerge) >= 2:
+                    key = "Nucleotide" if typ == "nucleotide" else typ
+                    merge_tsv(tomerge, report_dir / f"diversity-{key}.tsv")
+        if multi:
+            barrier("finish")
 
         debug.stage("finish")
 

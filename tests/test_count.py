@@ -191,3 +191,52 @@ def test_dispatch_streams_fid_word_mode():
         expected.append(counter.count(seq, rec, 1).to_dict())
     got = [p.table().to_dict() for p in counter.dispatch_streams(streams, 1)]
     assert got == expected
+
+
+def test_packed_segments_match_stream_path(tmp_path):
+    """The single-launch per-file-segment packed path returns exactly the
+    per-file tables of the stream path (same per-file min-count semantics,
+    ref /root/reference/lib/mercat2_kmers.py:73-76)."""
+    import numpy as np
+
+    from mercat2_tpu.engine.codec import codec_for_alphabet
+    from mercat2_tpu.engine.counter import KmerCounter, NumpySource, fetch_tables
+
+    rng = np.random.default_rng(42)
+    codec = codec_for_alphabet(np.frombuffer(b"ACGT", np.uint8))
+    for k in (5, 16, 21):
+        counter = KmerCounter(k, codec)
+        files = []
+        for n in (9000, 3000, 700):
+            seq = codec.symbols[rng.integers(0, 4, size=n)]
+            rec = np.repeat(np.arange(4), -(-n // 4))[:n].astype(np.int64)
+            files.append((seq, rec))
+        sources = [NumpySource(seq, rec, codec) for seq, rec in files]
+        pendings = counter.dispatch_packed_segments(sources, min_count=2)
+        got = fetch_tables(pendings)
+        want = [counter.count(seq, rec, 2) for seq, rec in files]
+        for g, w in zip(got, want):
+            assert len(g) == len(w), (k, len(g), len(w))
+            np.testing.assert_array_equal(g.kmers, w.kmers)
+            np.testing.assert_array_equal(g.counts, w.counts)
+
+
+def test_packed_segments_cap_overflow_retry():
+    """n_out beyond the speculative/cap limits still returns exact tables."""
+    import numpy as np
+
+    from mercat2_tpu.engine.codec import codec_for_alphabet
+    from mercat2_tpu.engine.counter import KmerCounter, NumpySource, fetch_tables
+
+    rng = np.random.default_rng(7)
+    codec = codec_for_alphabet(np.frombuffer(b"ACGT", np.uint8))
+    counter = KmerCounter(9, codec)
+    n = 60000  # ~60k distinct 9-mers at min_count=1 >> _SPEC_ROWS
+    seq = codec.symbols[rng.integers(0, 4, size=n)]
+    rec = np.zeros(n, np.int64)
+    sources = [NumpySource(seq, rec, codec)]
+    got = fetch_tables(counter.dispatch_packed_segments(sources, 1))[0]
+    want = counter.count(seq, rec, 1)
+    assert len(got) == len(want) and len(got) > KmerCounter._SPEC_ROWS
+    np.testing.assert_array_equal(got.kmers, want.kmers)
+    np.testing.assert_array_equal(got.counts, want.counts)

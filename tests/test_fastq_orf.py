@@ -43,6 +43,45 @@ def test_trim_filters(tmp_path):
     assert "@bad" not in text and "@nnn" not in text and "@short" not in text
 
 
+def test_trim_fastp_defaults_on_test_r1(tmp_path, ref_data):
+    """fastp-default behavior on the bundled fastq (fastp itself is absent
+    from this env AND was absent from the golden run — the 0.05 s load in
+    results/2023-11-29.log means the reference skipped trimming, so
+    clean/Test_R1.fna.gz is the raw conversion, not a fastp oracle).
+    Per fastp's documented defaults: no adapter present -> no bases
+    clipped; read index 4 carries 8 N bases -> dropped by n_base_limit=5;
+    all other 249 reads pass untouched."""
+    raw = fq.read_fastq(ref_data / "Test_R1.fastq")
+    out = fq.trim(ref_data / "Test_R1.fastq", tmp_path, "Test_R1")
+    trimmed = fq.read_fastq(out)
+    assert trimmed.n_reads == 249
+    kept = [i for i in range(raw.n_reads) if i != 4]
+    for j, i in enumerate(kept):
+        assert trimmed.read_seq(j) == raw.read_seq(i)
+        assert trimmed.read_qual(j) == raw.read_qual(i)
+
+
+def test_trim_adapter_clipping(tmp_path):
+    """Explicit adapter: clipped at the match (fastp trimBySequence rule),
+    partial adapter at the tail also clipped (>=4-base overlap)."""
+    adapter = "CTGTCTCTTATACACATCT"
+    insert = "ACGTACGTACGTACGTACGTACGTACGT"
+    src = tmp_path / "a.fastq"
+    full = insert + adapter + "TTTT"
+    partial = insert + adapter[:6]
+    clean = insert + "GGGGCCCCAAAA"
+    reads = [("full", full), ("partial", partial), ("clean", clean)]
+    src.write_text("".join(
+        f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads
+    ))
+    out = fq.trim(src, tmp_path / "o", "a", adapter=adapter)
+    lines = out.read_text().strip().split("\n")
+    seqs = {lines[i][1:]: lines[i + 1] for i in range(0, len(lines), 4)}
+    assert seqs["full"] == insert
+    assert seqs["partial"] == insert
+    assert seqs["clean"] == clean
+
+
 def test_qc_writes_report(tmp_path, ref_data):
     html = fq.qc(ref_data / "Test_R1.fastq", tmp_path, "t")
     assert html.exists()

@@ -3,7 +3,9 @@
 Runs on 8 virtual CPU devices (tests/conftest.py). Covers the TPU mapping
 of the reference's chunk-level data parallelism + driver dict merge
 (/root/reference/bin/mercat2.py:118-127): haloed stream sharding, dense
-psum_scatter/psum histogram reduction, and the sorted all_gather merge.
+psum_scatter/psum histogram reduction, and the distributed sort-count
+(splitter partition + all_to_all + on-device RLE/min-count/compaction),
+asserting full KmerTable equality against the single-chip engine.
 """
 
 import numpy as np
@@ -11,14 +13,16 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from mercat2_tpu.engine.codec import Codec, codec_for_alphabet
+from mercat2_tpu.engine.counter import KmerCounter
 from mercat2_tpu.ops.dense_hist import dense_kmer_histogram
-from mercat2_tpu.ops.kmer_pack import sorted_kmer_keys
 from mercat2_tpu.parallel import (
+    flat_mesh,
     make_mesh,
     mesh_shape_for,
     shard_stream,
+    sharded_count_streams,
     sharded_dense_histogram,
-    sharded_sorted_kmer_keys,
 )
 
 
@@ -28,6 +32,16 @@ def _random_stream(n, alphabet, seed, sep_every=None):
     if sep_every:
         s[::sep_every] = alphabet  # sprinkle separators (values >= alphabet)
     return s
+
+
+def _codec(alphabet: int) -> Codec:
+    return codec_for_alphabet(np.arange(65, 65 + alphabet, dtype=np.uint8))
+
+
+def _assert_tables_equal(got, want):
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got.kmers, want.kmers)
+    np.testing.assert_array_equal(got.counts, want.counts)
 
 
 def test_mesh_shape_for():
@@ -68,20 +82,87 @@ def test_sharded_dense_matches_single_device(k, alphabet):
     np.testing.assert_array_equal(hist, ref.astype(np.int64))
 
 
-@pytest.mark.parametrize("k,bits,alphabet", [(21, 2, 4), (16, 2, 4), (3, 5, 25)])
-def test_sharded_sorted_matches_single_device(k, bits, alphabet):
-    mesh = make_mesh(8)
-    s = _random_stream(4096, alphabet, 2, sep_every=131)
-    shards = shard_stream(s, k, mesh.size, sentinel=alphabet)
-    words, n_valid = sharded_sorted_kmer_keys(
-        shards, k=k, bits=bits, alphabet_size=alphabet, mesh=mesh
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize(
+    "k,alphabet,min_count", [(21, 4, 1), (16, 4, 2), (3, 25, 3), (5, 4, 4)]
+)
+def test_sharded_count_single_file_matches_engine(n_dev, k, alphabet, min_count):
+    """Full-table equality (keys AND counts, incl. min-count) per mesh size."""
+    codec = _codec(alphabet)
+    counter = KmerCounter(k, codec)
+    s = _random_stream(5000, alphabet, 10 + k, sep_every=113)
+    want = counter.count_stream(s.copy(), min_count)
+    got = sharded_count_streams(
+        counter, [s.copy()], min_count, flat_mesh(n_dev)
     )
-    ref_words, ref_valid = sorted_kmer_keys(
-        jnp.asarray(s), k=k, bits=bits, alphabet_size=alphabet
+    assert len(got) == 1
+    _assert_tables_equal(got[0], want)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_count_multi_file_per_file_filter(n_dev):
+    """fid-tagged multi-file launch: per-file tables with per-file
+    min-count semantics (ref /root/reference/lib/mercat2_kmers.py:73-76)."""
+    k, alphabet, min_count = 9, 4, 2
+    codec = _codec(alphabet)
+    counter = KmerCounter(k, codec)
+    streams = [
+        _random_stream(3000, alphabet, 7, sep_every=101),
+        _random_stream(1200, alphabet, 8),
+        _random_stream(600, alphabet, 9, sep_every=53),
+    ]
+    want = [counter.count_stream(s.copy(), min_count) for s in streams]
+    got = sharded_count_streams(
+        counter, [s.copy() for s in streams], min_count, flat_mesh(n_dev)
     )
-    assert n_valid == int(ref_valid)
-    for w, rw in zip(words, ref_words):
-        np.testing.assert_array_equal(w[:n_valid], np.asarray(rw)[:n_valid])
+    for g, w in zip(got, want):
+        _assert_tables_equal(g, w)
+
+
+def test_sharded_count_extreme_skew_retries():
+    """A stream of one repeated symbol puts every window in one key run on
+    one device; the routing-capacity retry must still produce exact counts."""
+    k, alphabet = 4, 4
+    codec = _codec(alphabet)
+    counter = KmerCounter(k, codec)
+    s = np.zeros(4000, np.uint8)  # 'AAAA' * 1000 -> one kmer, count 3997
+    want = counter.count_stream(s.copy(), 1)
+    got = sharded_count_streams(counter, [s.copy()], 1, flat_mesh(8))
+    _assert_tables_equal(got[0], want)
+
+
+def test_sharded_count_empty_and_short_streams():
+    codec = _codec(4)
+    counter = KmerCounter(8, codec)
+    streams = [
+        np.zeros(0, np.uint8),
+        np.full(3, codec.sentinel, np.uint8),  # shorter than k after trim
+        _random_stream(500, 4, 11),
+    ]
+    got = sharded_count_streams(counter, streams, 1, flat_mesh(4))
+    assert len(got[0]) == 0 and len(got[1]) == 0
+    want = counter.count_stream(streams[2].copy(), 1)
+    _assert_tables_equal(got[2], want)
+
+
+def test_sharded_count_on_real_genome_slice():
+    """Sanity on genuine FASTA-derived codes: DJ head vs single-chip."""
+    from pathlib import Path
+
+    from mercat2_tpu.engine.codec import codec_for_alphabet
+    from mercat2_tpu.io.fasta import parse_fasta_seq
+
+    path = Path("/root/reference/data/5-genomes-fna_gz/DJ.fna.gz")
+    if not path.exists():
+        pytest.skip("reference data missing")
+    seq, rec = parse_fasta_seq(path)
+    seq, rec = seq[:200_000], rec[:200_000]
+    codec = codec_for_alphabet(np.unique(seq))
+    counter = KmerCounter(21, codec)
+    stream = counter.build_stream(seq, rec)
+    want = counter.count_stream(stream.copy(), 2)
+    got = sharded_count_streams(counter, [stream.copy()], 2, flat_mesh(8))
+    _assert_tables_equal(got[0], want)
 
 
 def test_sharded_dense_on_small_mesh():
