@@ -38,27 +38,53 @@ def _count_cold(files: list[Path], k: int) -> tuple[int, int, float]:
     import numpy as np
 
     t0 = time.perf_counter()
-    # gzip + parse in threads (the C++ parser releases the GIL)
-    with ThreadPoolExecutor(max_workers=len(files)) as pool:
-        sources = list(pool.map(open_fasta_native, files))
-    assert all(s is not None for s in sources), "build native/ first"
-    alpha = np.zeros(0, np.uint8)
-    for s in sources:
-        alpha = np.union1d(alpha, s.alphabet())
-    counter = KmerCounter(k, codec_for_alphabet(alpha.astype(np.uint8)))
-    if counter.packable():
-        pendings = counter.dispatch_packed_sources(sources, MIN_COUNT)
-    else:
-        with ThreadPoolExecutor(max_workers=len(files)) as pool:
-            streams = list(pool.map(counter.build_stream_native, sources))
-        pendings = counter.dispatch_streams(
-            [s for s in streams if s is not None], MIN_COUNT
-        )
+    # gzip + parse in threads (the C++ parser releases the GIL); device
+    # launch groups dispatch AS SOON AS their files are parsed, so the
+    # tail files' host parse overlaps the head groups' h2d + compute.
+    # Per-group codecs are sound: the min-count filter is per file
+    # (ref lib/mercat2_kmers.py:73-76), so no cross-group key comparison
+    # ever happens and tables decode to byte strings independently.
+    pool = ThreadPoolExecutor(max_workers=len(files))
+    futs = [pool.submit(open_fasta_native, f) for f in files]
+    pendings = []
+    sources = []
+    group: list = []
+    group_syms = 0
+    probe = KmerCounter(k, codec_for_alphabet(
+        np.frombuffer(b"ACGT", np.uint8)))
+
+    def flush():
+        nonlocal group, group_syms
+        if not group:
+            return
+        alpha = np.zeros(0, np.uint8)
+        for s in group:
+            alpha = np.union1d(alpha, s.alphabet())
+        counter = KmerCounter(k, codec_for_alphabet(alpha.astype(np.uint8)))
+        if counter.packable():
+            pendings.extend(counter.dispatch_packed_segments(group, MIN_COUNT))
+        else:
+            streams = [counter.build_stream_native(s) for s in group]
+            pendings.extend(counter.dispatch_streams(
+                [st for st in streams if st is not None], MIN_COUNT))
+        group, group_syms = [], 0
+
+    for fut in futs:
+        s = fut.result()
+        assert s is not None, "build native/ first"
+        sources.append(s)
+        n = s.packed_len(1)
+        if group and group_syms + n > probe._SEG_TARGET:
+            flush()
+        group.append(s)
+        group_syms += n
+    flush()
     n_kmers = sum(len(t) for t in fetch_tables(pendings))
     dt = time.perf_counter() - t0
     total = sum(s.seq_len for s in sources)
     for s in sources:
         s.close()
+    pool.shutdown(wait=False)
     return total, n_kmers, dt
 
 

@@ -57,36 +57,45 @@ def remove_n(fasta, outpath, toupper: bool = False) -> tuple[Path, dict]:
         text = text[:-1]
     lines = [ln.strip() for ln in text.split("\n")]
 
-    with gzip.open(out_fasta, "wt") as writer:
-        i = 0
-        n_lines = len(lines)
-        while i < n_lines:
-            line = lines[i]
-            if not line.startswith(">"):
-                i += 1
-                continue
-            name = line[1:]
-            seq_lines: list[str] = []
+    # level-1 deflate: the decompressed content is what downstream stages
+    # and parity care about, and level 9 made this write the single
+    # slowest stage of the whole pipeline (~10 s for 5 genomes; level 1
+    # is ~6x faster for ~10% larger files). Output is accumulated and
+    # compressed in large chunks — per-line writes through the gzip
+    # TextIOWrapper cost more than the deflate itself.
+    out_lines: list[str] = []
+    i = 0
+    n_lines = len(lines)
+    while i < n_lines:
+        line = lines[i]
+        if not line.startswith(">"):
             i += 1
-            while i < n_lines and not lines[i].startswith(">"):
-                seq_lines.append(lines[i])
-                i += 1
-            sequence = "".join(seq_lines)
-            if "N" in sequence:
-                for piece in split_sequence_n(name, sequence)[0]:
-                    if piece.startswith(">"):
-                        print(piece, file=writer)
-                    else:
-                        print(piece.upper() if toupper else piece, file=writer)
-                    # reference quirk: headers are included in the GC tally
-                    gc_count += piece.count("G") + piece.count("C")
-                    total_length += len(piece)
-            else:
-                print(">", name, sep="", file=writer)
-                for seq_line in seq_lines:
-                    print(seq_line.upper() if toupper else seq_line, file=writer)
-                gc_count += sequence.count("G") + sequence.count("C")
-                total_length += len(sequence)
+            continue
+        name = line[1:]
+        seq_lines: list[str] = []
+        i += 1
+        while i < n_lines and not lines[i].startswith(">"):
+            seq_lines.append(lines[i])
+            i += 1
+        sequence = "".join(seq_lines)
+        if "N" in sequence:
+            for piece in split_sequence_n(name, sequence)[0]:
+                if piece.startswith(">"):
+                    out_lines.append(piece)
+                else:
+                    out_lines.append(piece.upper() if toupper else piece)
+                # reference quirk: headers are included in the GC tally
+                gc_count += piece.count("G") + piece.count("C")
+                total_length += len(piece)
+        else:
+            out_lines.append(">" + name)
+            for seq_line in seq_lines:
+                out_lines.append(seq_line.upper() if toupper else seq_line)
+            gc_count += sequence.count("G") + sequence.count("C")
+            total_length += len(sequence)
+    out_lines.append("")  # trailing newline
+    with gzip.open(out_fasta, "wb", compresslevel=1) as writer:
+        writer.write("\n".join(out_lines).encode("latin-1"))
 
     stats = {"GC Content": 100.0 * gc_count / total_length if total_length else 0.0}
     return out_fasta.absolute(), stats

@@ -41,33 +41,12 @@ def main() -> None:
         counter = KmerCounter(K, codec_for_alphabet(alpha.astype(np.uint8)))
         t2 = time.perf_counter()
 
-        # group assembly + dispatch, instrumented copy of
-        # dispatch_packed_sources
-        lens = [s.packed_len(1) for s in sources]
-        groups, cur, cur_sym = [], [], 0
-        for i, length in enumerate(lens):
-            if cur and cur_sym + length > counter._PACK_TARGET:
-                groups.append(cur)
-                cur, cur_sym = [], 0
-            cur.append(i)
-            cur_sym += length
-        if cur:
-            groups.append(cur)
-        build_t = disp_t = 0.0
-        pendings = []
-        for g in groups:
-            b0 = time.perf_counter()
-            pg = counter.build_packed_group([sources[i] for i in g])
-            b1 = time.perf_counter()
-            multi = counter.dispatch_packed(pg, 10)
-            multi.prefetch()
-            b2 = time.perf_counter()
-            build_t += b1 - b0
-            disp_t += b2 - b1
-            from mercat2_tpu.engine.counter import _MultiView
-
-            pendings.extend(_MultiView(multi, r) for r in range(len(g)))
+        # segmented single-launch path (dispatch_packed_sources)
+        pendings = counter.dispatch_packed_sources(sources, 10)
         t3 = time.perf_counter()
+        build_t = t3 - t2  # host group assembly + launch enqueue
+        disp_t = 0.0
+        groups = [1]
         tables = fetch_tables(pendings)
         t4 = time.perf_counter()
         n = sum(len(t) for t in tables)

@@ -191,3 +191,27 @@ def test_beta_diversity_writes_outputs(tmp_path):
     assert (tmp_path / "beta" / "euclidean-test.tsv").exists()
     assert (tmp_path / "beta" / "euclidean-test.png").exists()
     assert "mahalanobis" not in done  # singular for 3 samples
+
+
+def test_vendored_fgs_matches_golden_faa(tmp_path, golden_results):
+    """The vendored FragGeneScanRs binary reproduces the reference's golden
+    fgs output byte-for-byte (same upstream release the reference bundles,
+    /root/reference/lib/mercat2_fasta.py:265-288)."""
+    import gzip as _gzip
+
+    from mercat2_tpu.orf.caller import fgs_executable, orf_call
+
+    exe = fgs_executable()
+    if exe is None or "vendor" not in exe:
+        pytest.skip("vendored FGS binary missing")
+    clean = golden_results / "fna-5genomes-10" / "clean" / "DJ_clean.fna.gz"
+    golden = golden_results / "fna-5genomes-10" / "fgs" / "DJ.faa.gz"
+    if not (clean.exists() and golden.exists()):
+        pytest.skip("golden fgs inputs missing")
+    name, faa = orf_call("DJ", clean, tmp_path, engine="fgs")
+    assert name == "DJ"
+    with _gzip.open(faa, "rb") as f:
+        got = f.read()
+    with _gzip.open(golden, "rb") as f:
+        want = f.read()
+    assert got == want
