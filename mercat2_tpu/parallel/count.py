@@ -236,9 +236,19 @@ def _sharded_count_device(shards, file_starts, min_count, *, k: int,
     )(shards, file_starts, min_count)
 
 
-def flat_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D ('shards',) mesh over the first n devices (default: all)."""
-    devices = jax.devices()
+def flat_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D ('shards',) mesh over the first n devices (default: all LOCAL).
+
+    Under multi-host execution every process builds its own mesh from its
+    addressable devices only — hosts own disjoint input files (see
+    mercat2_tpu.parallel.dist.host_shard), so counting is a process-local
+    computation and a global mesh would make ``jax.device_put`` of
+    host-local data crash on non-addressable devices.
+    """
+    if devices is None:
+        devices = (
+            jax.local_devices() if jax.process_count() > 1 else jax.devices()
+        )
     if n_devices is None:
         n_devices = len(devices)
     return Mesh(np.asarray(devices[:n_devices]), axis_names=("shards",))

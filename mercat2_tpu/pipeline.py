@@ -181,15 +181,21 @@ def _resolve_mesh(policy: str):
     import jax
 
     try:
-        n = len(jax.devices())
+        # multi-host: each process meshes over its OWN chips only — hosts
+        # own disjoint files (host_shard), so counting never crosses hosts
+        # and global (non-addressable) devices must stay out of the mesh.
+        devices = (
+            jax.local_devices() if jax.process_count() > 1 else jax.devices()
+        )
     except Exception:
         return None
+    n = len(devices)
     want = n if policy == "auto" else min(int(policy), n)
     if want <= 1:
         return None
     from mercat2_tpu.parallel import flat_mesh
 
-    return flat_mesh(want)
+    return flat_mesh(want, devices=devices)
 
 
 def _count_group_mesh(group: dict, counter: KmerCounter, min_count: int,

@@ -28,7 +28,7 @@ jax.distributed.initialize(
 from mercat2_tpu.pipeline import PipelineConfig, run_pipeline
 cfg = PipelineConfig(
     kmer=4, input_folder={data!r}, min_count=2, output={out!r},
-    chunk_size_mb=0, pca=False, mesh="off",
+    chunk_size_mb=0, pca=False, mesh={mesh!r},
 )
 run_pipeline(cfg)
 """
@@ -53,19 +53,31 @@ def test_host_shard_partition():
 
 
 @pytest.mark.skipif(not DATA.exists(), reason="simka data missing")
-def test_two_process_pipeline_matches_single(tmp_path):
+@pytest.mark.parametrize("mesh,local_devices", [
+    ("off", 1),
+    # the default policy on a pod host: hosts × local chips composed.
+    # Each process meshes its own 4 virtual devices (8 global) — this is
+    # the shape that crashed when _resolve_mesh used global jax.devices().
+    ("auto", 4),
+])
+def test_two_process_pipeline_matches_single(tmp_path, mesh, local_devices):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     out2 = tmp_path / "two_proc"
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
+    if local_devices > 1:
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={local_devices}"
+        )
+    else:
+        env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER.format(
                 repo=str(REPO), coord=coord, pid=pid,
-                data=str(DATA), out=str(out2),
+                data=str(DATA), out=str(out2), mesh=mesh,
             )],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
