@@ -55,20 +55,62 @@ __all__ = [
 _ONES32 = jnp.uint32(0xFFFFFFFF)
 
 
+def _bucket8(n: int, floor: int = 1024) -> int:
+    """Round up to eighth-power-of-two granularity (bounded compile shapes)."""
+    n = max(n, floor)
+    e = (n - 1).bit_length()
+    step = 1 << max(e - 3, 0)
+    return -(-n // step) * step
+
+
 def shard_stream(stream: np.ndarray, k: int, n_shards: int, sentinel: int) -> np.ndarray:
     """uint8[N] stream -> uint8[n_shards, L + k - 1] haloed shard matrix.
 
-    L = ceil(N / n_shards) window starts per shard; the trailing k-1 symbols
-    of each row replicate the head of the next shard. Tail rows are sentinel
-    padded, so their surplus windows are invalid and drop out downstream.
+    L = ceil(N / n_shards) window starts per shard, rounded up to an
+    eighth-power-of-two bucket so the compiled program-shape family stays
+    small WITHOUT padding the stream itself to a bucket first (which would
+    concentrate all data — and all sort work — on the leading shards). The
+    trailing k-1 symbols of each row replicate the head of the next shard.
+    Tail rows are sentinel padded, so their surplus windows are invalid and
+    drop out downstream. Callers should pass the TRIMMED stream.
     """
     n = int(stream.shape[0])
-    L = -(-max(n, 1) // n_shards)
+    L = _bucket8(-(-max(n, 1) // n_shards))
     total = n_shards * L + k - 1
     padded = np.full(total, sentinel, np.uint8)
     padded[:n] = stream
     idx = np.arange(L + k - 1)[None, :] + (np.arange(n_shards) * L)[:, None]
     return padded[idx]
+
+
+#: window starts per block of the block-cyclic shard layout (sort path).
+#: Small enough to mix every file/key region into every device, large
+#: enough that the k-1 halo per block stays negligible (<= 3% at k=128).
+_BLOCK = 4096
+
+
+def shard_stream_blocks(stream: np.ndarray, k: int, n_shards: int,
+                        sentinel: int, block: int = _BLOCK) -> np.ndarray:
+    """uint8[N] -> uint8[n_shards, nbpd * (block+k-1)] block-cyclic rows.
+
+    Block j covers window starts [j*block, (j+1)*block) plus a k-1 halo and
+    is assigned to device j % n_shards, so every device holds a
+    representative sample of the whole stream. Contiguous sharding instead
+    concentrates each device's keys in one file's fid range (files are laid
+    out back to back), which skews the all_to_all segment sizes by up to
+    n_files x. Window starts at in-slot offset >= block are duplicates of
+    the next block and must be masked by the consumer.
+    """
+    n = int(stream.shape[0])
+    nb = max(1, -(-n // block))
+    nbpd = _bucket8(-(-nb // n_shards), floor=1)  # bounded shape family
+    row_sym = block + k - 1
+    padded = np.full(n_shards * nbpd * block + k - 1, sentinel, np.uint8)
+    padded[:n] = stream
+    blk = (np.arange(nbpd)[None, :] * n_shards
+           + np.arange(n_shards)[:, None])  # [D, nbpd] global block ids
+    idx = blk[:, :, None] * block + np.arange(row_sym)[None, None, :]
+    return padded[idx].reshape(n_shards, nbpd * row_sym)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -136,36 +178,77 @@ def _sort_words_for(k: int, bits: int, n_files: int) -> tuple[int, int]:
     return payload + (1 if mode == "word" else 0), 0
 
 
+def _splitter_sig_bits(k: int, bits: int, n_files: int) -> int:
+    """Significant LOW bits of sort-key word 0 for VALID rows.
+
+    Splitter agreement partitions on a 32-bit fused key built from words
+    (0, 1): word 0 alone can carry as few as 2 significant bits (k=17 nt:
+    top word holds k*bits - 32 = 2 key bits; multi-file "word" fid mode:
+    word 0 IS the file id), which would leave most devices without data and
+    balloon seg_cap retries. Fusing word 1's high bits restores full 32-bit
+    splitter entropy while preserving lexicographic order.
+    """
+    from mercat2_tpu.ops.finalize import fid_layout
+
+    payload = max(1, -(-(k * bits) // 32))
+    kb0 = k * bits - 32 * (payload - 1)
+    if n_files == 1:
+        return kb0
+    mode, shift = fid_layout(k, bits, n_files)
+    fid_bits = max(1, n_files.bit_length())
+    return shift + fid_bits if mode == "embedded" else fid_bits
+
+
+def _fused_splitter_key(words, sig0: int):
+    """uint32 order-preserving fusion of sorted key words (0, 1).
+
+    For valid rows word 0 < 2**sig0, so ``(w0 << (32-sig0)) | (w1 >> sig0)``
+    is monotone in (w0, w1); invalid rows (all-ones in every word) map to
+    all-ones and keep sorting last. Rows with equal FULL keys always share a
+    fused value, so searchsorted(side="right") never splits a run.
+    """
+    if sig0 >= 32 or len(words) < 2:
+        return words[0]
+    return (words[0] << jnp.uint32(32 - sig0)) | (words[1] >> jnp.uint32(sig0))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "bits", "alphabet_size", "cap", "n_files",
-                     "seg_cap", "mesh"),
+                     "seg_cap", "block", "mesh"),
 )
 def _sharded_count_device(shards, file_starts, min_count, *, k: int,
                           bits: int, alphabet_size: int, cap: int,
-                          n_files: int, seg_cap: int, mesh: Mesh):
+                          n_files: int, seg_cap: int, block: int, mesh: Mesh):
     """The distributed sort-count program (see module docstring).
 
-    shards: uint8[D, L + k - 1] haloed rows (shard_stream layout).
-    Returns per-device stacked (words..., counts, n_out, n_dropped):
-    device d's table rows cover an exclusive key range that ascends with d,
-    so the concatenation of the d-th prefixes is the global sorted table.
-    ``n_dropped`` > 0 means a routing segment overflowed ``seg_cap``
-    (extreme key skew); the caller must retry with a larger factor.
+    shards: uint8[D, nbpd * (block + k - 1)] block-cyclic haloed rows
+    (shard_stream_blocks layout). Returns per-device stacked
+    (words..., counts, n_out, n_dropped): device d's table rows cover an
+    exclusive key range that ascends with d, so the concatenation of the
+    d-th prefixes is the global sorted table. ``n_dropped`` > 0 means a
+    routing segment overflowed ``seg_cap`` (extreme key skew); the caller
+    must retry with a larger factor.
     """
     from mercat2_tpu.ops.finalize import build_keyed_words, finalize_sorted
 
     axis = mesh.axis_names[0]
     D = mesh.shape[axis]
-    L = shards.shape[-1] - k + 1
+    row_sym = block + k - 1
+    sig0 = _splitter_sig_bits(k, bits, n_files)
 
     def step(local, starts, minc):
         row = local[0]
         d = jax.lax.axis_index(axis)
-        valid = window_validity(row, k, alphabet_size)
+        p = row.shape[0] - k + 1
+        pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+        bi = pos // row_sym  # in-row block slot
+        off = pos % row_sym  # window start within the slot
+        # off >= block duplicates the next block's head: mask it out
+        valid = window_validity(row, k, alphabet_size) & (off < block)
         payload = pack_kmer_words(row.astype(jnp.uint32), k, bits)
         if n_files > 1:
-            pos_g = d * L + jax.lax.broadcasted_iota(jnp.int32, (L,), 0)
+            pos_g = (bi * D + d) * block + off  # global window start
             fid = (
                 jnp.searchsorted(starts, pos_g, side="right") - 1
             ).astype(jnp.uint32)
@@ -175,21 +258,36 @@ def _sharded_count_device(shards, file_starts, min_count, *, k: int,
         W = len(keyed)
         words = jax.lax.sort(tuple(keyed), num_keys=W)
         n_valid = jnp.sum(valid, dtype=jnp.int32)
-        word0 = words[0]
+        fused = _fused_splitter_key(words, sig0)
 
-        # --- splitter agreement: S regular samples of the valid prefix ---
+        # --- splitter agreement: S regular samples of the valid prefix,
+        # each weighted by its device's valid count so devices with little
+        # (or no) data don't drag the global quantile estimate toward their
+        # invalid-marker samples. Splitter j = the sample where the weight
+        # prefix-sum crosses (j+1)/D of the total weight.
         ranks = ((jax.lax.broadcasted_iota(jnp.int32, (_SAMPLES,), 0) + 1)
                  * n_valid) // (_SAMPLES + 1)
-        smp = word0[jnp.clip(ranks, 0, L - 1)]
-        allsmp = jax.lax.sort(jax.lax.all_gather(smp, axis, tiled=True))
-        spl_ranks = (jax.lax.broadcasted_iota(jnp.int32, (D - 1,), 0) + 1) * _SAMPLES
-        splitters = allsmp[spl_ranks]  # uint32[D-1], ascending
+        smp = fused[jnp.clip(ranks, 0, p - 1)]
+        wgt = jnp.full((_SAMPLES,), 1.0, jnp.float32) * n_valid.astype(jnp.float32)
+        allsmp = jax.lax.all_gather(smp, axis, tiled=True)
+        allwgt = jax.lax.all_gather(wgt, axis, tiled=True)
+        ssmp, swgt = jax.lax.sort((allsmp, allwgt), num_keys=1)
+        cumw = jnp.cumsum(swgt)
+        targets = (
+            (jax.lax.broadcasted_iota(jnp.float32, (D - 1,), 0) + 1.0)
+            * (cumw[-1] / D)
+        )
+        spl_idx = jnp.clip(
+            jnp.searchsorted(cumw, targets, side="left"), 0, D * _SAMPLES - 1
+        )
+        splitters = ssmp[spl_idx]  # uint32[D-1], ascending
 
         # --- local segments owned by each destination device -------------
         # side='right': keys equal to a splitter all go to the lower device,
-        # so a run of equal keys is never split across devices.
+        # so a run of equal (fused, hence full) keys is never split across
+        # devices.
         bounds = jnp.minimum(
-            jnp.searchsorted(word0, splitters, side="right").astype(jnp.int32),
+            jnp.searchsorted(fused, splitters, side="right").astype(jnp.int32),
             n_valid,
         )
         seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds])
@@ -203,7 +301,7 @@ def _sharded_count_device(shards, file_starts, min_count, *, k: int,
             jnp.int32, (D, seg_cap), 1
         )
         mask = idx < jnp.minimum(seg_end, seg_start + seg_cap)[:, None]
-        idxc = jnp.minimum(idx, L - 1)
+        idxc = jnp.minimum(idx, p - 1)
         recv = [
             jax.lax.all_to_all(
                 jnp.where(mask, w[idxc], _ONES32), axis,
@@ -256,7 +354,8 @@ def flat_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 def sharded_count_streams(counter, streams: list, min_count: int,
                           mesh: Mesh | None = None, *,
-                          overprovision: float = 2.0) -> list:
+                          overprovision: float = 2.0,
+                          stats: dict | None = None) -> list:
     """Count several files' code streams across a device mesh; one exact,
     min-count-filtered, lexicographically sorted KmerTable per file.
 
@@ -288,9 +387,25 @@ def sharded_count_streams(counter, streams: list, min_count: int,
     live = [i for i, t in enumerate(trimmed) if t.shape[0] >= k]
     if not live:
         return [KmerTable.empty(k)] * n_files
-    combined, starts = counter._combine_streams([trimmed[i] for i in live])
-    shards = shard_stream(combined, k, D, codec.sentinel)
-    L = shards.shape[1] - k + 1
+    live_streams = [trimmed[i] for i in live]
+    combined, starts = counter._combine_streams(live_streams)
+    # block-cyclic sharding of the TRUE content (not the compile-shape
+    # bucket padding): every device gets a representative mix of the whole
+    # stream, so the all_to_all segment sizes stay ~L/D even though files
+    # are laid out contiguously. Row shapes come from a bucketed
+    # blocks-per-device count, keeping the compiled family small.
+    true_total = int(starts[-1]) + live_streams[-1].shape[0]
+    # adaptive power-of-two block: at least ~4 blocks per device so small
+    # streams still mix across the mesh (a device holding a single
+    # contiguous block sees only one file's key range).
+    block = _BLOCK
+    while block > 256 and true_total < 4 * D * block:
+        block //= 2
+    shards = shard_stream_blocks(
+        combined[:true_total], k, D, codec.sentinel, block
+    )
+    nbpd = shards.shape[1] // (block + k - 1)
+    L = nbpd * block  # owned window starts per device
 
     if len(live) == 1:
         mode, shift = "none", 0
@@ -306,13 +421,14 @@ def sharded_count_streams(counter, streams: list, min_count: int,
 
         cap = min(cap, _DEFAULT_CAP)
     over = overprovision
+    skew_retries = cap_retries = 0
     while True:
         seg_cap = max(128, int(over * L / D + 127) // 128 * 128)
         seg_cap = min(seg_cap, L)
         out = _sharded_count_device(
             dshards, dstarts, jnp.int32(min_count),
             k=k, bits=codec.bits, alphabet_size=codec.size, cap=cap,
-            n_files=len(live), seg_cap=seg_cap, mesh=mesh,
+            n_files=len(live), seg_cap=seg_cap, block=block, mesh=mesh,
         )
         n_out = np.asarray(out[-2])
         n_dropped = int(np.asarray(out[-1])[0])
@@ -320,11 +436,16 @@ def sharded_count_streams(counter, streams: list, min_count: int,
             if seg_cap >= L:  # cannot grow further; should be impossible
                 raise RuntimeError("sharded count: segment overflow at L")
             over *= 2.0
+            skew_retries += 1
             continue
         if int(n_out.max()) > cap:
             cap = int(1 << int(n_out.max() - 1).bit_length())
+            cap_retries += 1
             continue
         break
+    if stats is not None:
+        stats.update(skew_retries=skew_retries, cap_retries=cap_retries,
+                     seg_cap=seg_cap, n_devices=D)
 
     word_cols = [np.asarray(w) for w in out[:-3]]  # each [D, cap]
     counts = np.asarray(out[-3])  # [D, cap]

@@ -119,6 +119,48 @@ def test_sharded_count_multi_file_per_file_filter(n_dev):
         _assert_tables_equal(g, w)
 
 
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("k", [17, 18])
+def test_sharded_count_low_entropy_word0_no_skew(n_dev, k):
+    """k=17/18 nt: sort-key word 0 carries only 2/4 significant bits. The
+    fused (word0, word1) splitter key must still partition uniform data
+    evenly — table equality AND zero routing-capacity retries."""
+    codec = _codec(4)
+    counter = KmerCounter(k, codec)
+    s = _random_stream(20000, 4, 40 + k, sep_every=211)
+    want = counter.count_stream(s.copy(), 1)
+    stats: dict = {}
+    got = sharded_count_streams(
+        counter, [s.copy()], 1, flat_mesh(n_dev), stats=stats
+    )
+    _assert_tables_equal(got[0], want)
+    assert stats["skew_retries"] == 0, stats
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_count_word_fid_mode_no_skew(n_dev):
+    """k=16 multi-file puts the FILE ID in sort-key word 0 ("word" fid
+    mode): without word-1 fusion the partition degenerates to per-file
+    placement. Assert per-file tables AND no seg_cap retry."""
+    k, min_count = 16, 2
+    codec = _codec(4)
+    counter = KmerCounter(k, codec)
+    streams = [
+        _random_stream(9000, 4, 61, sep_every=173),
+        _random_stream(7000, 4, 62),
+        _random_stream(5000, 4, 63, sep_every=97),
+    ]
+    want = [counter.count_stream(s.copy(), min_count) for s in streams]
+    stats: dict = {}
+    got = sharded_count_streams(
+        counter, [s.copy() for s in streams], min_count, flat_mesh(n_dev),
+        stats=stats,
+    )
+    for g, w in zip(got, want):
+        _assert_tables_equal(g, w)
+    assert stats["skew_retries"] == 0, stats
+
+
 def test_sharded_count_extreme_skew_retries():
     """A stream of one repeated symbol puts every window in one key run on
     one device; the routing-capacity retry must still produce exact counts."""
