@@ -647,6 +647,7 @@ class PackedGroup:
     file_starts: np.ndarray  # int32[n_files], symbol offset of each file
     gap_begin: np.ndarray    # int32[G], half-open no-window symbol ranges
     gap_end: np.ndarray      # (record gaps, inter-file gaps, tail padding)
+    content_end: int = 0     # symbols before the tail bucket padding
 
 
 class KmerCounter:
@@ -947,6 +948,7 @@ class KmerCounter:
             file_starts=np.asarray(offs, np.int32),
             gap_begin=gap_begin.astype(np.int32),
             gap_end=gap_end.astype(np.int32),
+            content_end=total,
         )
 
     def build_packed_group_segmented(self, sources: list) -> PackedGroup | None:

@@ -23,6 +23,8 @@ from mercat2_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from mercat2_tpu.parallel.count import (
     flat_mesh,
     shard_stream,
+    shard_stream_blocks,
+    sharded_count_sources,
     sharded_count_streams,
     sharded_dense_histogram,
 )
@@ -32,6 +34,8 @@ __all__ = [
     "mesh_shape_for",
     "flat_mesh",
     "shard_stream",
+    "shard_stream_blocks",
+    "sharded_count_sources",
     "sharded_count_streams",
     "sharded_dense_histogram",
 ]

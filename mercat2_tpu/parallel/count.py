@@ -48,8 +48,9 @@ from mercat2_tpu.ops.kmer_pack import (
 )
 
 __all__ = [
-    "shard_stream", "sharded_dense_histogram", "sharded_count_streams",
-    "flat_mesh",
+    "shard_stream", "shard_stream_blocks", "shard_packed_words",
+    "sharded_dense_histogram", "sharded_count_streams",
+    "sharded_count_sources", "flat_mesh",
 ]
 
 _ONES32 = jnp.uint32(0xFFFFFFFF)
@@ -255,73 +256,10 @@ def _sharded_count_device(shards, file_starts, min_count, *, k: int,
         else:
             fid = None
         keyed, strip = build_keyed_words(payload, valid, fid, k, bits, n_files)
-        W = len(keyed)
-        words = jax.lax.sort(tuple(keyed), num_keys=W)
         n_valid = jnp.sum(valid, dtype=jnp.int32)
-        fused = _fused_splitter_key(words, sig0)
-
-        # --- splitter agreement: S regular samples of the valid prefix,
-        # each weighted by its device's valid count so devices with little
-        # (or no) data don't drag the global quantile estimate toward their
-        # invalid-marker samples. Splitter j = the sample where the weight
-        # prefix-sum crosses (j+1)/D of the total weight.
-        ranks = ((jax.lax.broadcasted_iota(jnp.int32, (_SAMPLES,), 0) + 1)
-                 * n_valid) // (_SAMPLES + 1)
-        smp = fused[jnp.clip(ranks, 0, p - 1)]
-        wgt = jnp.full((_SAMPLES,), 1.0, jnp.float32) * n_valid.astype(jnp.float32)
-        allsmp = jax.lax.all_gather(smp, axis, tiled=True)
-        allwgt = jax.lax.all_gather(wgt, axis, tiled=True)
-        ssmp, swgt = jax.lax.sort((allsmp, allwgt), num_keys=1)
-        cumw = jnp.cumsum(swgt)
-        targets = (
-            (jax.lax.broadcasted_iota(jnp.float32, (D - 1,), 0) + 1.0)
-            * (cumw[-1] / D)
-        )
-        spl_idx = jnp.clip(
-            jnp.searchsorted(cumw, targets, side="left"), 0, D * _SAMPLES - 1
-        )
-        splitters = ssmp[spl_idx]  # uint32[D-1], ascending
-
-        # --- local segments owned by each destination device -------------
-        # side='right': keys equal to a splitter all go to the lower device,
-        # so a run of equal (fused, hence full) keys is never split across
-        # devices.
-        bounds = jnp.minimum(
-            jnp.searchsorted(fused, splitters, side="right").astype(jnp.int32),
-            n_valid,
-        )
-        seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds])
-        seg_end = jnp.concatenate([bounds, n_valid[None]])
-        seg_len = seg_end - seg_start
-        sent = jnp.minimum(seg_len, seg_cap)
-        n_dropped = jax.lax.psum(jnp.sum(seg_len - sent), axis)
-
-        # --- route: one all_to_all of [D, seg_cap] per key word ----------
-        idx = seg_start[:, None] + jax.lax.broadcasted_iota(
-            jnp.int32, (D, seg_cap), 1
-        )
-        mask = idx < jnp.minimum(seg_end, seg_start + seg_cap)[:, None]
-        idxc = jnp.minimum(idx, p - 1)
-        recv = [
-            jax.lax.all_to_all(
-                jnp.where(mask, w[idxc], _ONES32), axis,
-                split_axis=0, concat_axis=0,
-            ).reshape(D * seg_cap)
-            for w in words
-        ]
-        n_recv = jnp.sum(
-            jax.lax.all_to_all(sent, axis, split_axis=0, concat_axis=0),
-            dtype=jnp.int32,
-        )
-
-        # --- local exact finalize on ~N/D rows ----------------------------
-        merged = jax.lax.sort(tuple(recv), num_keys=W)
-        out_words, out_counts, n_out = finalize_sorted(
-            merged[: W - strip], n_recv, minc, cap
-        )
-        return (
-            tuple(w[None] for w in out_words)
-            + (out_counts[None], n_out[None], n_dropped[None])
+        return _route_finalize(
+            keyed, strip, n_valid, minc,
+            sig0=sig0, axis=axis, D=D, seg_cap=seg_cap, cap=cap,
         )
 
     total_w, strip_w = _sort_words_for(k, bits, n_files)
@@ -332,6 +270,281 @@ def _sharded_count_device(shards, file_starts, min_count, *, k: int,
         in_specs=(P(axis, None), P(), P()),
         out_specs=word_specs + (P(axis, None), P(axis), P(axis)),
     )(shards, file_starts, min_count)
+
+
+def _route_finalize(keyed, strip: int, n_valid, minc, *, sig0: int, axis: str,
+                    D: int, seg_cap: int, cap: int):
+    """Shared tail of the distributed sort-count device programs:
+
+    local sort -> weighted-sample splitter agreement -> key-range routing
+    with ONE all_to_all -> local exact finalize on ~N/D rows. ``keyed`` are
+    the masked sort-key columns (invalid rows all-ones, see
+    ops.finalize.build_keyed_words).
+    """
+    from mercat2_tpu.ops.finalize import finalize_sorted
+
+    W = len(keyed)
+    words = jax.lax.sort(tuple(keyed), num_keys=W)
+    p = words[0].shape[0]
+    fused = _fused_splitter_key(words, sig0)
+
+    # --- splitter agreement: S regular samples of the valid prefix, each
+    # weighted by its device's valid count so devices with little (or no)
+    # data don't drag the global quantile estimate toward their
+    # invalid-marker samples. Splitter j = the sample where the weight
+    # prefix-sum crosses (j+1)/D of the total weight.
+    ranks = ((jax.lax.broadcasted_iota(jnp.int32, (_SAMPLES,), 0) + 1)
+             * n_valid) // (_SAMPLES + 1)
+    smp = fused[jnp.clip(ranks, 0, p - 1)]
+    wgt = jnp.full((_SAMPLES,), 1.0, jnp.float32) * n_valid.astype(jnp.float32)
+    allsmp = jax.lax.all_gather(smp, axis, tiled=True)
+    allwgt = jax.lax.all_gather(wgt, axis, tiled=True)
+    ssmp, swgt = jax.lax.sort((allsmp, allwgt), num_keys=1)
+    cumw = jnp.cumsum(swgt)
+    targets = (
+        (jax.lax.broadcasted_iota(jnp.float32, (D - 1,), 0) + 1.0)
+        * (cumw[-1] / D)
+    )
+    spl_idx = jnp.clip(
+        jnp.searchsorted(cumw, targets, side="left"), 0, D * _SAMPLES - 1
+    )
+    splitters = ssmp[spl_idx]  # uint32[D-1], ascending
+
+    # --- local segments owned by each destination device ------------------
+    # side='right': keys equal to a splitter all go to the lower device, so
+    # a run of equal (fused, hence full) keys is never split across devices.
+    bounds = jnp.minimum(
+        jnp.searchsorted(fused, splitters, side="right").astype(jnp.int32),
+        n_valid,
+    )
+    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32), bounds])
+    seg_end = jnp.concatenate([bounds, n_valid[None]])
+    seg_len = seg_end - seg_start
+    sent = jnp.minimum(seg_len, seg_cap)
+    n_dropped = jax.lax.psum(jnp.sum(seg_len - sent), axis)
+
+    # --- route: one all_to_all of [D, seg_cap] per key word ---------------
+    idx = seg_start[:, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (D, seg_cap), 1
+    )
+    mask = idx < jnp.minimum(seg_end, seg_start + seg_cap)[:, None]
+    idxc = jnp.minimum(idx, p - 1)
+    recv = [
+        jax.lax.all_to_all(
+            jnp.where(mask, w[idxc], _ONES32), axis,
+            split_axis=0, concat_axis=0,
+        ).reshape(D * seg_cap)
+        for w in words
+    ]
+    n_recv = jnp.sum(
+        jax.lax.all_to_all(sent, axis, split_axis=0, concat_axis=0),
+        dtype=jnp.int32,
+    )
+
+    # --- local exact finalize on ~N/D rows ---------------------------------
+    merged = jax.lax.sort(tuple(recv), num_keys=W)
+    out_words, out_counts, n_out = finalize_sorted(
+        merged[: W - strip], n_recv, minc, cap
+    )
+    return (
+        tuple(w[None] for w in out_words)
+        + (out_counts[None], n_out[None], n_dropped[None])
+    )
+
+
+def shard_packed_words(words: np.ndarray, k: int, per: int, n_shards: int,
+                       block: int) -> tuple[np.ndarray, int, int]:
+    """Block-cyclic shard matrix over bit-packed uint32 words.
+
+    The packed-transport equivalent of :func:`shard_stream_blocks`: block j
+    covers window starts [j*block, (j+1)*block) plus a halo rounded up to a
+    word boundary, so every slot is a whole-word slice of the packed stream
+    and h2d ships ``bits`` per symbol instead of 8. ``block`` must be a
+    multiple of ``per`` (any power of two >= 32 is).
+
+    Returns (wshards uint32[n_shards, nbpd*slot_w], nbpd, slot_sym).
+    """
+    assert block % per == 0
+    halo_sym = -(-(k - 1) // per) * per
+    slot_sym = block + halo_sym
+    slot_w = slot_sym // per
+    block_w = block // per
+    nw = int(words.shape[0])
+    n_sym = nw * per
+    nb = max(1, -(-n_sym // block))
+    nbpd = _bucket8(-(-nb // n_shards), floor=1)
+    need = (n_shards * nbpd - 1) * block_w + slot_w
+    padded = np.zeros(need, np.uint32)
+    padded[:nw] = words
+    blk = (np.arange(nbpd)[None, :] * n_shards
+           + np.arange(n_shards)[:, None])  # [D, nbpd]
+    idx = blk[:, :, None] * block_w + np.arange(slot_w)[None, None, :]
+    return padded[idx].reshape(n_shards, nbpd * slot_w), nbpd, slot_sym
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bits", "alphabet_size", "cap", "n_files",
+                     "seg_cap", "block", "slot_sym", "mesh"),
+)
+def _sharded_count_packed_device(wshards, gap_begin, gap_end, file_starts,
+                                 n_total, min_count, *, k: int, bits: int,
+                                 alphabet_size: int, cap: int, n_files: int,
+                                 seg_cap: int, block: int, slot_sym: int,
+                                 mesh: Mesh):
+    """Distributed sort-count from bit-packed block-cyclic word shards.
+
+    Identical partition/routing/finalize semantics to
+    :func:`_sharded_count_device`; the differences are transport-side:
+    symbols arrive packed (4x fewer h2d bytes for DNA), record/file gaps
+    are out-of-band SORTED half-open symbol ranges (no sentinel codes), and
+    ``n_total`` (traced) bounds the real content.
+    """
+    from mercat2_tpu.ops.finalize import build_keyed_words, unpack_codes
+
+    axis = mesh.axis_names[0]
+    D = mesh.shape[axis]
+    sig0 = _splitter_sig_bits(k, bits, n_files)
+    G = int(gap_begin.shape[0])
+
+    def step(local, gb, ge, starts, ntot, minc):
+        row_words = local[0]
+        d = jax.lax.axis_index(axis)
+        n_sym = row_words.shape[0] * (32 // bits)
+        codes = unpack_codes(row_words, bits, n_sym)
+        p = n_sym - k + 1
+        pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+        bi = pos // slot_sym
+        off = pos % slot_sym
+        g = (bi * D + d) * block + off  # global window start
+        in_range = (off < block) & (g <= ntot - k)
+        # window [g, g+k) intersects gap range [b, e) iff b-k+1 <= g < e;
+        # ranges are disjoint and sorted, so test only the first e > g.
+        j = jnp.searchsorted(ge, g, side="right")
+        jc = jnp.minimum(j, G - 1)
+        hit = (j < G) & (gb[jc] - jnp.int32(k - 1) <= g)
+        valid = in_range & jnp.logical_not(hit)
+        payload = pack_kmer_words(codes, k, bits)
+        if n_files > 1:
+            fid = (
+                jnp.searchsorted(starts, g, side="right") - 1
+            ).astype(jnp.uint32)
+        else:
+            fid = None
+        keyed, strip = build_keyed_words(payload, valid, fid, k, bits, n_files)
+        n_valid = jnp.sum(valid, dtype=jnp.int32)
+        return _route_finalize(
+            keyed, strip, n_valid, minc,
+            sig0=sig0, axis=axis, D=D, seg_cap=seg_cap, cap=cap,
+        )
+
+    total_w, strip_w = _sort_words_for(k, bits, n_files)
+    word_specs = tuple([P(axis, None)] * (total_w - strip_w))
+    return shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+        out_specs=word_specs + (P(axis, None), P(axis), P(axis)),
+    )(wshards, gap_begin, gap_end, file_starts, n_total, min_count)
+
+
+def sharded_count_sources(counter, sources: list, min_count: int,
+                          mesh: Mesh | None = None, *,
+                          overprovision: float = 2.0,
+                          stats: dict | None = None) -> list:
+    """Mesh-parallel count of several files from packed-transport sources.
+
+    Same output contract as :func:`sharded_count_streams` (one exact,
+    per-file min-count-filtered, lexicographically sorted KmerTable per
+    source), but the h2d transport ships the same bit-packed words as the
+    single-chip packed path (engine.counter.build_packed_group) — 4x fewer
+    bytes for DNA on real multi-chip hardware. Requires a packable codec
+    (``32 % bits == 0``).
+    """
+    from mercat2_tpu.engine.counter import (
+        KmerTable, _DEFAULT_CAP, _split_fid_tables,
+    )
+    from mercat2_tpu.ops.finalize import fid_layout
+
+    if mesh is None:
+        mesh = flat_mesh()
+    axis = mesh.axis_names[0]
+    D = int(mesh.shape[axis])
+    k, codec = counter.k, counter.codec
+    per = 32 // codec.bits
+    n_files = len(sources)
+    if n_files == 0:
+        return []
+    group = counter.build_packed_group(sources)
+    if group is None:
+        return [KmerTable.empty(k)] * n_files
+
+    content = group.content_end
+    block = _BLOCK
+    while block > 256 and content < 4 * D * block:
+        block //= 2
+    wshards, nbpd, slot_sym = shard_packed_words(
+        group.words, k, per, D, block
+    )
+    L = nbpd * block  # owned window starts per device
+    order = np.argsort(group.gap_begin, kind="stable")
+    gb = np.ascontiguousarray(group.gap_begin[order])
+    ge = np.ascontiguousarray(group.gap_end[order])
+
+    if n_files == 1:
+        mode, shift = "none", 0
+    else:
+        mode, shift = fid_layout(k, codec.bits, n_files)
+
+    sharding = NamedSharding(mesh, P(axis, None))
+    dev_in = (
+        jax.device_put(jnp.asarray(wshards), sharding),
+        jnp.asarray(gb), jnp.asarray(ge),
+        jnp.asarray(group.file_starts),
+        jnp.int32(content),
+    )
+    cap = min(L, max(1 << 14, counter._keyspace() // max(1, D)))
+    if min_count > 1:
+        cap = min(cap, _DEFAULT_CAP)
+    over = overprovision
+    skew_retries = cap_retries = 0
+    while True:
+        seg_cap = max(128, int(over * L / D + 127) // 128 * 128)
+        seg_cap = min(seg_cap, L)
+        out = _sharded_count_packed_device(
+            *dev_in, jnp.int32(min_count),
+            k=k, bits=codec.bits, alphabet_size=codec.size, cap=cap,
+            n_files=n_files, seg_cap=seg_cap, block=block,
+            slot_sym=slot_sym, mesh=mesh,
+        )
+        n_out = np.asarray(out[-2])
+        n_dropped = int(np.asarray(out[-1])[0])
+        if n_dropped > 0:
+            if seg_cap >= L:
+                raise RuntimeError("sharded count: segment overflow at L")
+            over *= 2.0
+            skew_retries += 1
+            continue
+        if int(n_out.max()) > cap:
+            cap = int(1 << int(n_out.max() - 1).bit_length())
+            cap_retries += 1
+            continue
+        break
+    if stats is not None:
+        stats.update(skew_retries=skew_retries, cap_retries=cap_retries,
+                     seg_cap=seg_cap, n_devices=D, block=block)
+
+    word_cols = [np.asarray(w) for w in out[:-3]]
+    counts = np.asarray(out[-3])
+    cols_full = [
+        np.concatenate([w[d, : n_out[d]] for d in range(D)])
+        for w in word_cols
+    ]
+    counts_full = np.concatenate([counts[d, : n_out[d]] for d in range(D)])
+    total = int(n_out.sum())
+    return _split_fid_tables(
+        counter, cols_full + [counts_full], total, mode, shift, n_files
+    )
 
 
 def flat_mesh(n_devices: int | None = None, devices=None) -> Mesh:

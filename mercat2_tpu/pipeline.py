@@ -210,43 +210,67 @@ def _count_group_mesh(group: dict, counter: KmerCounter, min_count: int,
     for the reference's Ray fan-out across CPU workers
     (/root/reference/bin/mercat2.py:115-137).
     """
-    from mercat2_tpu.parallel import sharded_count_streams
+    from mercat2_tpu.engine.counter import _REC_GAP
+    from mercat2_tpu.parallel import (
+        sharded_count_sources, sharded_count_streams,
+    )
 
     jobs = [(basename, f) for basename, files in group.items() for f in files]
     tables: dict[str, list] = {basename: [] for basename in group}
     tsv_list: dict[str, Path] = {}
     target_syms = 256 << 20
+    packed = counter.packable()
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        futs = [
-            (basename, pool.submit(
-                _build_stream, f, counter, None, (handles or {}).pop(f, None)
-            ))
-            for basename, f in jobs
-        ]
+        if packed:
+            # bit-packed transport (same PackedGroup as the single-chip
+            # path): h2d ships `bits` per symbol instead of 8
+            futs = [
+                (basename, pool.submit(
+                    counter.source_for, f, (handles or {}).pop(f, None)
+                ))
+                for basename, f in jobs
+            ]
+        else:
+            futs = [
+                (basename, pool.submit(
+                    _build_stream, f, counter, None,
+                    (handles or {}).pop(f, None),
+                ))
+                for basename, f in jobs
+            ]
         batch_names: list[str] = []
-        batch_streams: list = []
+        batch_items: list = []
         batch_syms = 0
 
         def flush() -> None:
-            nonlocal batch_names, batch_streams, batch_syms
-            if not batch_streams:
+            nonlocal batch_names, batch_items, batch_syms
+            if not batch_items:
                 return
-            for name, tbl in zip(
-                batch_names,
-                sharded_count_streams(counter, batch_streams, min_count, mesh),
-            ):
+            if packed:
+                batch_tables = sharded_count_sources(
+                    counter, batch_items, min_count, mesh
+                )
+                for s in batch_items:
+                    s.close()
+            else:
+                batch_tables = sharded_count_streams(
+                    counter, batch_items, min_count, mesh
+                )
+            for name, tbl in zip(batch_names, batch_tables):
                 tables[name].append(tbl)
-            batch_names, batch_streams, batch_syms = [], [], 0
+            batch_names, batch_items, batch_syms = [], [], 0
 
         for basename, fut in futs:
-            stream = fut.result()
-            if stream is None:
+            item = fut.result()
+            if item is None:
                 continue
             batch_names.append(basename)
-            batch_streams.append(stream)
-            batch_syms += stream.shape[0]
-            if len(batch_streams) >= 32 or batch_syms > target_syms:
+            batch_items.append(item)
+            batch_syms += (
+                item.packed_len(_REC_GAP) if packed else item.shape[0]
+            )
+            if len(batch_items) >= 32 or batch_syms > target_syms:
                 flush()
         flush()
 

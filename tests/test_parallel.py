@@ -161,6 +161,67 @@ def test_sharded_count_word_fid_mode_no_skew(n_dev):
     assert stats["skew_retries"] == 0, stats
 
 
+def _sources(counter, specs):
+    """NumpySource list from (n, seed, rec_every) specs (record boundaries
+    every ``rec_every`` symbols when set)."""
+    from mercat2_tpu.engine.counter import NumpySource
+
+    out = []
+    for n, seed, rec_every in specs:
+        rng = np.random.default_rng(seed)
+        seq = rng.integers(65, 65 + counter.codec.size, size=n, dtype=np.uint8)
+        seq = counter.codec.symbols[
+            rng.integers(0, counter.codec.size, size=n)
+        ]
+        rec = (np.arange(n) // rec_every if rec_every else np.zeros(n)).astype(
+            np.int64
+        )
+        out.append((seq, rec, NumpySource(seq, rec, counter.codec)))
+    return out
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("k,min_count", [(21, 1), (16, 2), (5, 3)])
+def test_sharded_count_sources_single_file(n_dev, k, min_count):
+    """Packed-transport mesh path vs the single-chip engine (one file,
+    record gaps exercised through out-of-band gap ranges)."""
+    from mercat2_tpu.parallel import sharded_count_sources
+
+    codec = _codec(4)
+    counter = KmerCounter(k, codec)
+    [(seq, rec, src)] = _sources(counter, [(30000, 5 + k, 307)])
+    want = counter.count(seq, rec, min_count)
+    stats: dict = {}
+    got = sharded_count_sources(
+        counter, [src], min_count, flat_mesh(n_dev), stats=stats
+    )
+    assert len(got) == 1
+    _assert_tables_equal(got[0], want)
+    assert stats["skew_retries"] == 0, stats
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_count_sources_multi_file(n_dev):
+    """Per-file min-count semantics through the packed mesh path
+    (ref /root/reference/lib/mercat2_kmers.py:73-76), including an
+    empty file and one shorter than k."""
+    from mercat2_tpu.parallel import sharded_count_sources
+
+    k, min_count = 9, 2
+    codec = _codec(4)
+    counter = KmerCounter(k, codec)
+    triples = _sources(
+        counter, [(9000, 71, 401), (0, 72, 0), (5, 73, 0), (4000, 74, 0)]
+    )
+    want = [counter.count(seq, rec, min_count) for seq, rec, _ in triples]
+    got = sharded_count_sources(
+        counter, [s for _, _, s in triples], min_count, flat_mesh(n_dev)
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        _assert_tables_equal(g, w)
+
+
 def test_sharded_count_extreme_skew_retries():
     """A stream of one repeated symbol puts every window in one key run on
     one device; the routing-capacity retry must still produce exact counts."""
