@@ -17,17 +17,68 @@ from __future__ import annotations
 import gzip
 from pathlib import Path
 
-__all__ = ["chunk_file", "maybe_chunk"]
+__all__ = ["chunk_file", "maybe_chunk", "human2bytes"]
+
+#: binary-prefix unit spellings accepted by :func:`human2bytes`, matching
+#: the reference's grammar (/root/reference/lib/mercat2_Chunker.py:82-139):
+#: single letters, IEC "Ki"-style, and spelled-out decimal/IEC names. All
+#: are powers of 1024.
+_UNIT_SPELLINGS = {
+    0: ("b", "byte"),
+    1: ("k", "ki", "kilo", "kibi"),
+    2: ("m", "mi", "mega", "mebi"),
+    3: ("g", "gi", "giga", "gibi"),
+    4: ("t", "ti", "tera", "tebi"),
+    5: ("p", "pi", "peta", "pebi"),
+    6: ("e", "ei", "exa", "exbi"),
+    7: ("z", "zi", "zetta", "zebi"),
+    8: ("y", "yi", "iotta", "yobi"),
+}
+_UNIT_EXP = {
+    spelling: exp for exp, names in _UNIT_SPELLINGS.items() for spelling in names
+}
 
 
-def chunk_file(path, dest, chunk_bytes: int, delim: str = ">") -> list[Path]:
-    """Split `path` into ~chunk_bytes pieces at `delim` boundaries."""
+def human2bytes(s: str) -> int:
+    """'1 M' / '0.5kilo' / '2Gi' -> bytes (powers of 1024).
+
+    Same accepted grammar as the reference's Chunker sizes
+    (/root/reference/lib/mercat2_Chunker.py:82-139): a decimal number
+    followed by an optional unit; raises ValueError on unknown units.
+    """
+    text = str(s)
+    i = 0
+    while i < len(text) and (text[i].isdigit() or text[i] == "."):
+        i += 1
+    if i == 0:
+        raise ValueError(f"can't interpret {s!r}")
+    num = float(text[:i])
+    unit = text[i:].strip()
+    if not unit:
+        return int(num)
+    exp = _UNIT_EXP.get(unit.lower())
+    if exp is None:
+        raise ValueError(f"can't interpret {s!r}")
+    return int(num * (1 << (10 * exp)))
+
+
+def chunk_file(path, dest, chunk_bytes: int, delim: str | None = ">",
+               lines: int | None = None) -> list[Path]:
+    """Split `path` into ~chunk_bytes pieces.
+
+    ``delim`` mode starts a new chunk only at a line containing the record
+    delimiter; ``lines`` mode (reference ``stream_lines``,
+    /root/reference/lib/mercat2_Chunker.py:61-79) only at every
+    ``lines``-th line (e.g. 4 for FASTQ records). Exactly one must be set.
+    """
+    if (delim is None) == (lines is None):
+        raise ValueError("exactly one of delim/lines must be set")
     path = Path(path)
     dest = Path(dest)
     dest.mkdir(parents=True, exist_ok=True)
     name = path.stem.split(".")[0]
     ext = "".join(path.suffixes[:-1])  # reference drops the last suffix
-    delim_b = delim.encode()
+    delim_b = delim.encode() if delim is not None else None
 
     opener = gzip.open(path, "rb") if path.suffix == ".gz" else open(path, "rb")
     files: list[Path] = []
@@ -37,8 +88,11 @@ def chunk_file(path, dest, chunk_bytes: int, delim: str = ">") -> list[Path]:
     out = open(out_path, "wb")
     written = 0
     with opener as inf:
-        for line in inf:
-            if delim_b in line and written >= chunk_bytes:
+        for j, line in enumerate(inf):
+            boundary = (
+                delim_b in line if delim_b is not None else j % lines == 0
+            )
+            if boundary and written >= chunk_bytes:
                 out.close()
                 i += 1
                 out_path = dest / f"{name}.{i:05d}{ext}"
@@ -71,13 +125,19 @@ def _main(argv=None) -> int:
                                 "at record boundaries")
     p.add_argument("file", help="input file (.gz ok)")
     p.add_argument("outdir", help="output directory")
-    p.add_argument("-s", "--size-mb", type=int, default=100,
-                   help="target chunk size in MB [100]")
-    p.add_argument("-d", "--delim", default=">",
-                   help="record delimiter ['>'; use '@' for FASTQ]")
+    p.add_argument("-c", "--chunksize", default="100M",
+                   help="target chunk size, human units ok [100M]")
+    group = p.add_mutually_exclusive_group()
+    group.add_argument("-d", "--delim", default=None,
+                       help="record delimiter ['>'; use '@' for FASTQ]")
+    group.add_argument("-l", "--lines", type=int, default=None,
+                       help="lines per record group (e.g. 4 for FASTQ)")
     args = p.parse_args(argv)
-    files = chunk_file(args.file, args.outdir,
-                       args.size_mb * 1024 * 1024, args.delim)
+    delim = args.delim if args.lines is None else None
+    if delim is None and args.lines is None:
+        delim = ">"
+    files = chunk_file(args.file, args.outdir, human2bytes(args.chunksize),
+                       delim, args.lines)
     for f in files:
         print(f)
     return 0
