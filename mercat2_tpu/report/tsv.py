@@ -11,6 +11,15 @@ Output formats are byte-compatible with the reference:
   hash-randomized column order (a Python set,
   /root/reference/lib/mercat2_report.py:162-173); ours is deterministic
   (sorted k-mers), which is PCA/beta-diversity-invariant and reproducible.
+
+Documented deviation: the reference's ``merge_tsv``
+(/root/reference/lib/mercat2_report.py:116-152) refreshes its next-key
+candidate set only from files consumed in the current round, so a
+not-yet-consumed smaller key can be folded into a later key's row (visible
+in the golden ``combined_protein.tsv``, where DJ's ``AAAHA 10`` lands on
+the ``AAAHL`` row). Sparse key sets (proteins) trigger it; dense nucleotide
+tables do not. Our merge is the correct k-way union — pinned against an
+independent oracle in tests/test_golden_e2e.py.
 """
 
 from __future__ import annotations
