@@ -6,14 +6,30 @@ timed END TO END per run — gzip decompress + parse + encode + pack + h2d +
 device count + fetch of the filtered tables. Baseline: MerCat2 multiprocess
 CPU, k=31, 8 threads = 5.372 s on the same data = 3.62 Mbases/s (reference
 results/results_2023-11-08/results.csv:7; the reference's wall time equally
-includes reading the gzip inputs). Secondary configs (stderr, `#` lines):
-k=3 protein counting (BASELINE.json configs[0]) and k=5 nucleotide counting
-(reference "Time to count 5-mers" = 1.63 s, results/2023-11-29.log).
+includes reading the gzip inputs).
+
+Secondary configs (stderr `#` lines, recorded in the driver's BENCH tail):
+
+- k=21 nt SUSTAINED: the 5-genome set staged decompressed and replicated
+  10x (194.5 Mbp, 50 files) so fixed link/launch latency (~0.2 s on the
+  tunneled chip) amortizes — this is what a chip sustains on real volume.
+- k=5 nt cold vs the reference's "Time to count 5-mers" = 1.63 s
+  (results/2023-11-29.log, fna-5genomes-1 block, 6 threads).
+- k=3 aa (BASELINE.json configs[0]) and k=5 aa cold vs the reference's faa
+  count stage = 1.63 s (results/2023-11-29.log, faa-5genomes_gz-10 block;
+  the reference logs no k=3 time — k=5 is its nearest measured config).
+- FULL PIPELINE wall + max RSS: `-k 5 -f 5-genomes-fna_gz -pca -prod -fgs
+  -s 10` vs the reference's 2:41.31 elapsed / 250,320 KB max RSS
+  (results/2023-11-29.log, fna-5genomes_gz-10 block).
 """
 
 from __future__ import annotations
 
+import gzip
 import json
+import resource
+import shutil
+import subprocess
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -23,9 +39,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 DATA_NT = Path("/root/reference/data/5-genomes-fna_gz")
 DATA_AA = Path("/root/reference/data/5-genomes-faa_gz")
+SUSTAIN_DIR = Path("/tmp/mercat2_bench_sustained")
+SUSTAIN_COPIES = 10
 MIN_COUNT = 10
 BASELINE_K31_BASES_PER_S = 19_448_919 / 5.372  # ref k=31, 8 CPU threads
-BASELINE_K5_S = 1.63  # ref "Time to count 5-mers", 6 threads, same data
+BASELINE_K5_S = 1.63   # ref "Time to count 5-mers", fna, 6 threads
+BASELINE_AA_K5_S = 1.63  # ref faa_gz count stage (k=5), same log
+BASELINE_PIPELINE_S = 161.31  # ref full pipeline, fna_gz-10 block
+BASELINE_PIPELINE_RSS_KB = 250_320
+
+
+def _stage_sustained() -> list[Path]:
+    """Decompress + replicate the 5-genome set (cached across runs)."""
+    src = sorted(DATA_NT.glob("*.fna.gz"))
+    want = len(src) * SUSTAIN_COPIES
+    have = sorted(SUSTAIN_DIR.glob("*.fna"))
+    if len(have) == want:
+        return have
+    shutil.rmtree(SUSTAIN_DIR, ignore_errors=True)
+    SUSTAIN_DIR.mkdir(parents=True)
+    out = []
+    for f in src:
+        plain = gzip.decompress(f.read_bytes())
+        for c in range(SUSTAIN_COPIES):
+            p = SUSTAIN_DIR / f"{f.name.removesuffix('.fna.gz')}_{c:02d}.fna"
+            p.write_bytes(plain)
+            out.append(p)
+    return sorted(out)
 
 
 def _count_cold(files: list[Path], k: int) -> tuple[int, int, float]:
@@ -44,7 +84,7 @@ def _count_cold(files: list[Path], k: int) -> tuple[int, int, float]:
     # Per-group codecs are sound: the min-count filter is per file
     # (ref lib/mercat2_kmers.py:73-76), so no cross-group key comparison
     # ever happens and tables decode to byte strings independently.
-    pool = ThreadPoolExecutor(max_workers=len(files))
+    pool = ThreadPoolExecutor(max_workers=min(16, len(files)))
     futs = [pool.submit(open_fasta_native, f) for f in files]
     pendings = []
     sources = []
@@ -97,6 +137,27 @@ def _best_of(files: list[Path], k: int, runs: int = 3):
     return total, n, best
 
 
+def _pipeline_wall() -> tuple[float, float]:
+    """(wall seconds, max RSS MB) of one full-pipeline subprocess run.
+
+    The persistent compilation cache makes this the warm-compile number
+    after the first round on a machine (JAX server-side compiles are a
+    one-time cost the reference's interpreter loop does not have).
+    """
+    rss0 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    t0 = time.perf_counter()
+    p = subprocess.run(
+        [sys.executable, "-m", "mercat2_tpu.cli", "-k", "5",
+         "-f", str(DATA_NT), "-o", "/tmp/mercat2_bench_pipeline",
+         "-replace", "-pca", "-prod", "-fgs", "-s", "10"],
+        capture_output=True,
+    )
+    wall = time.perf_counter() - t0
+    rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    assert p.returncode == 0, p.stdout.decode()[-2000:]
+    return wall, max(rss, rss0) / 1024.0
+
+
 def main() -> None:
     from mercat2_tpu.utils import enable_compilation_cache
 
@@ -105,17 +166,24 @@ def main() -> None:
     nt_files = sorted(DATA_NT.glob("*.fna.gz"))
     aa_files = sorted(DATA_AA.glob("*.faa.gz"))
     assert nt_files and aa_files, "reference data missing"
+    sustained_files = _stage_sustained()
 
     # warm every compiled shape first (first jit on the tunneled backend
     # costs seconds of server-side compile; NOTES_r1.md)
     _count_cold(nt_files, 21)
     _count_cold(nt_files, 5)
     _count_cold(aa_files, 3)
+    _count_cold(aa_files, 5)
 
     bases, n21, dt21 = _best_of(nt_files, 21)
     bases_per_s = bases / dt21
+    sbases, sn21, sdt = _best_of(sustained_files, 21, runs=2)
+    s_per_s = sbases / sdt
     _, n5, dt5 = _best_of(nt_files, 5)
     residues, n3, dt3 = _best_of(aa_files, 3)
+    _, na5, dta5 = _best_of(aa_files, 5)
+    pipe_wall, pipe_rss = _pipeline_wall()
+    self_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
     print(json.dumps({
         "metric": "kmer_count_bases_per_s_k21_1chip_cold",
@@ -123,14 +191,28 @@ def main() -> None:
         "unit": "bases/s",
         "vs_baseline": round(bases_per_s / BASELINE_K31_BASES_PER_S, 2),
     }))
+    e = sys.stderr
     print(f"# k=21 nt cold: {bases} bases, {n21} kmers, {dt21:.3f} s "
-          f"({bases_per_s/1e6:.1f} Mbases/s, {bases_per_s/BASELINE_K31_BASES_PER_S:.1f}x ref k=31 8t)",
-          file=sys.stderr)
+          f"({bases_per_s/1e6:.1f} Mbases/s, "
+          f"{bases_per_s/BASELINE_K31_BASES_PER_S:.1f}x ref k=31 8t)", file=e)
+    print(f"# k=21 nt SUSTAINED ({SUSTAIN_COPIES}x, {sbases} bases, "
+          f"{len(sustained_files)} files): {sdt:.3f} s = "
+          f"{s_per_s/1e6:.1f} Mbases/s "
+          f"({s_per_s/BASELINE_K31_BASES_PER_S:.1f}x ref k=31 8t)", file=e)
     print(f"# k=5  nt cold: {n5} kmers, {dt5:.3f} s "
-          f"(ref 6-thread count stage {BASELINE_K5_S:.2f} s -> {BASELINE_K5_S/dt5:.1f}x)",
-          file=sys.stderr)
+          f"(ref 6-thread count stage {BASELINE_K5_S:.2f} s -> "
+          f"{BASELINE_K5_S/dt5:.1f}x)", file=e)
     print(f"# k=3  aa cold: {residues} residues, {n3} kmers, {dt3:.3f} s "
-          f"({residues/dt3/1e6:.1f} Mres/s)", file=sys.stderr)
+          f"({residues/dt3/1e6:.1f} Mres/s; ref nearest = k=5 faa "
+          f"{BASELINE_AA_K5_S:.2f} s -> {BASELINE_AA_K5_S/dt3:.1f}x)", file=e)
+    print(f"# k=5  aa cold: {na5} kmers, {dta5:.3f} s "
+          f"(ref faa count stage {BASELINE_AA_K5_S:.2f} s -> "
+          f"{BASELINE_AA_K5_S/dta5:.1f}x)", file=e)
+    print(f"# full pipeline (-k 5 -pca -prod -fgs -s 10): {pipe_wall:.1f} s "
+          f"(ref {BASELINE_PIPELINE_S:.1f} s -> "
+          f"{BASELINE_PIPELINE_S/pipe_wall:.2f}x), "
+          f"max RSS {pipe_rss:.0f} MB (ref {BASELINE_PIPELINE_RSS_KB/1024:.0f} MB); "
+          f"bench max RSS {self_rss:.0f} MB", file=e)
 
 
 if __name__ == "__main__":

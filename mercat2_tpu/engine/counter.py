@@ -496,6 +496,35 @@ class _PendingSegments:
         return self._tables[row]
 
 
+class _PendingDenseSegments:
+    """Result of one MXU dense-histogram launch (ops.mxu_hist
+    count_kmers_dense_segments): one small int32[S**k] histogram per file;
+    min-count filter + decode happen on host at fetch time (the whole
+    group's transfer is a few KB per file)."""
+
+    def __init__(self, counter, hists, min_count):
+        self._c = counter
+        self._hists = hists
+        self._min_count = min_count
+        self._tables: list[KmerTable] | None = None
+
+    def prefetch(self) -> None:
+        for h in self._hists:
+            _async_to_host(h)
+
+    def row_table(self, row: int) -> KmerTable:
+        if self._tables is None:
+            from mercat2_tpu.ops.mxu_hist import decode_dense_histogram
+
+            fetched = jax.device_get(tuple(self._hists))
+            self._tables = [
+                decode_dense_histogram(h, self._c.k, self._c.codec,
+                                       self._min_count)
+                for h in fetched
+            ]
+        return self._tables[row]
+
+
 class _MultiView(PendingCount):
     """One file's slice of a combined multi-file launch."""
 
@@ -848,8 +877,15 @@ class KmerCounter:
     # -- packed transport (bit-packed h2d; the default when bits | 32) -----
 
     def packable(self) -> bool:
-        """True when the codec supports the bit-packed transport."""
-        return 32 % self.codec.bits == 0
+        """True when the bit-packed transport saves h2d bytes.
+
+        ``per = 32 // bits`` symbols ride each uint32 word (the word's low
+        ``32 - per*bits`` bits stay zero when bits does not divide 32, e.g.
+        5-bit protein codes pack 6 per word = 5.33 effective bits/symbol vs
+        8 for the uint8 stream). bits > 6 gives per <= 4, i.e. >= 8 bits
+        per symbol — no cheaper than the plain stream, so not packed.
+        """
+        return self.codec.bits <= 6
 
     #: target combined symbols per packed launch group. Groups this size
     #: keep XLA's sort below its superlinear range while letting the next
@@ -907,7 +943,7 @@ class KmerCounter:
         size = _bucket_size(total)
         if bucket is not None:
             size = max(size, bucket)
-        assert size % per == 0
+        size = -(-size // per) * per  # whole words (bits may not divide 32)
         words = np.zeros(size // per, np.uint32)
         lut = self.codec.lut_encode()
 
@@ -1015,16 +1051,42 @@ class KmerCounter:
     #: trigger a second fetch for the affected files only)
     _SPEC_ROWS = 8192
 
-    def dispatch_packed_segments(self, sources: list, min_count: int = 1):
-        """One launch, per-file segment sorts, ONE host sync for the whole
-        group (speculative prefix fetch). Returns list[PendingCount]."""
+    #: use the MXU one-hot histogram for keyspaces up to MXU_MAX_BINS
+    #: (ops.mxu_hist). Measured on the tunneled v5e (5-genome set, cold
+    #: file->table, best of 3): k=3 0.299 s dense vs 0.351 sort; k=5 0.332
+    #: vs 0.381; k=7 0.355 vs 0.509. Flip to False to force sorting.
+    _DENSE_SMALL_K = True
+
+    def dispatch_packed_segments(self, sources: list, min_count: int = 1,
+                                 engine: str = "auto"):
+        """One launch, ONE host sync for the whole group. Per-file segments
+        are sorted — or, for small keyspaces, binned on the MXU
+        (``engine``: "auto" | "sort" | "dense"). Returns list[PendingCount].
+        """
         from mercat2_tpu.ops.finalize import count_kmers_packed_segments
+        from mercat2_tpu.ops.mxu_hist import MXU_MAX_BINS
 
         built = self.build_packed_group_segmented(sources)
         if built is None:
             return [_EmptyPending(self.k) for _ in sources]
         group, seg_words = built
         per = 32 // self.codec.bits
+        use_dense = engine == "dense" or (
+            engine == "auto" and self._DENSE_SMALL_K
+            and self._keyspace() <= MXU_MAX_BINS
+        )
+        if use_dense:
+            from mercat2_tpu.ops.mxu_hist import count_kmers_dense_segments
+
+            hists = count_kmers_dense_segments(
+                jnp.asarray(group.words),
+                jnp.asarray(group.gap_begin),
+                jnp.asarray(group.gap_end),
+                k=self.k, bits=self.codec.bits,
+                alphabet_size=self.codec.size, seg_words=seg_words,
+            )
+            multi = _PendingDenseSegments(self, hists, min_count)
+            return [_MultiView(multi, i) for i in range(len(sources))]
         caps = []
         for w0, w1 in seg_words:
             p = (w1 - w0) * per - self.k + 1

@@ -165,8 +165,10 @@ def unpack_codes(packed: jax.Array, bits: int, n_sym: int) -> jax.Array:
     """uint32[W] big-endian packed words -> uint32[n_sym] symbol codes.
 
     Symbol 0 of a word sits in the word's most-significant ``bits`` bits,
-    matching the host packers (io.native / engine.counter). Requires
-    ``bits`` to divide 32 and ``n_sym == W * (32 // bits)``.
+    matching the host packers (io.native / engine.counter). ``per = 32 //
+    bits`` symbols ride each word (the low ``32 - per*bits`` bits are unused
+    when bits does not divide 32, e.g. 5-bit protein codes pack 6/word);
+    requires ``n_sym == W * per``.
     """
     per = 32 // bits
     assert packed.shape[0] * per == n_sym, (packed.shape, per, n_sym)

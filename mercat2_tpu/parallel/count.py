@@ -480,9 +480,13 @@ def sharded_count_sources(counter, sources: list, min_count: int,
         return [KmerTable.empty(k)] * n_files
 
     content = group.content_end
-    block = _BLOCK
-    while block > 256 and content < 4 * D * block:
-        block //= 2
+    # block must be a whole number of packed words; per is not always a
+    # power of two (5-bit protein codes pack 6 per word), so express the
+    # block as per * factor and shrink the factor for small streams.
+    factor = _BLOCK // 16
+    while factor > 64 and content < 4 * D * per * factor:
+        factor //= 2
+    block = per * factor
     wshards, nbpd, slot_sym = shard_packed_words(
         group.words, k, per, D, block
     )

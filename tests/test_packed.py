@@ -90,8 +90,7 @@ def test_packed_min_count():
 
 
 def test_packed_4bit_alphabet():
-    # lowercase+N DNA -> >4 symbols -> 3-bit codec (not packable) is NOT
-    # chosen here; force a 4-bit codec to exercise per=8
+    # force a 4-bit codec to exercise per=8
     from mercat2_tpu.engine.codec import Codec
 
     rng = random.Random(5)
@@ -100,6 +99,43 @@ def test_packed_4bit_alphabet():
     alpha = np.unique(seq)
     codec = Codec(alpha, 4)
     assert _packed_count(recs, 3, codec=codec) == naive_kmers(recs, 3)
+
+
+def test_packed_3bit_alphabet():
+    # 8 distinct symbols -> natural 3-bit codec: per=10, 2 spare bits per
+    # word (bits does not divide 32)
+    rng = random.Random(6)
+    recs = _random_records(rng, 12, alphabet="ACGTNacg")
+    for k in (3, 11):  # 1-word and 2-word keys
+        assert _packed_count(recs, k) == naive_kmers(recs, k)
+
+
+@pytest.mark.parametrize("k", [1, 3, 6, 7, 13])
+def test_packed_5bit_protein(k):
+    # 20-25 amino-acid symbols -> 5-bit codec: per=6 (the protein transport
+    # saves 1/3 of h2d bytes vs the uint8 stream)
+    rng = random.Random(7 + k)
+    recs = _random_records(rng, 15, alphabet="ACDEFGHIKLMNPQRSTVWY*XBZU")
+    recs = [r.replace("*", "") for r in recs]
+    assert _packed_count(recs, k) == naive_kmers(recs, k)
+
+
+def test_packed_5bit_multi_file_segments():
+    rng = random.Random(8)
+    codecs_recs = [
+        _random_records(rng, 6, alphabet="ACDEFGHIKLMNPQRSTVWYX"),
+        _random_records(rng, 3, alphabet="ACDEFGHIKLMNPQRSTVWYX"),
+    ]
+    seqs = [_seq_rec(r) for r in codecs_recs]
+    allseq = np.concatenate([s for s, _ in seqs])
+    codec = codec_for_bytes(allseq)
+    assert codec.bits == 5
+    counter = KmerCounter(5, codec)
+    assert counter.packable()
+    srcs = [NumpySource(s, r, codec) for s, r in seqs]
+    pendings = counter.dispatch_packed_segments(srcs, min_count=2)
+    for recs, p in zip(codecs_recs, pendings):
+        assert p.table().to_dict() == naive_kmers(recs, 5, min_count=2)
 
 
 def test_packed_multi_file_parity():

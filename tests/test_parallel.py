@@ -181,6 +181,21 @@ def _sources(counter, specs):
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("k,alphabet,min_count", [(3, 25, 2), (4, 25, 1)])
+def test_sharded_count_sources_protein_5bit(n_dev, k, alphabet, min_count):
+    """5-bit (non-dividing) packed transport through the mesh path."""
+    from mercat2_tpu.parallel import sharded_count_sources
+
+    codec = _codec(alphabet)
+    counter = KmerCounter(k, codec)
+    assert codec.bits == 5 and counter.packable()
+    [(seq, rec, src)] = _sources(counter, [(15000, 90 + k, 253)])
+    want = counter.count(seq, rec, min_count)
+    got = sharded_count_sources(counter, [src], min_count, flat_mesh(n_dev))
+    _assert_tables_equal(got[0], want)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
 @pytest.mark.parametrize("k,min_count", [(21, 1), (16, 2), (5, 3)])
 def test_sharded_count_sources_single_file(n_dev, k, min_count):
     """Packed-transport mesh path vs the single-chip engine (one file,
