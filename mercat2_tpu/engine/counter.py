@@ -50,8 +50,13 @@ _MAX_DEVICE_K = 128
 #: the multi-chip psum merge (mercat2_tpu.parallel).
 
 #: Default output capacity of the compacted device table when a min-count
-#: filter is active (rows; 12-16 bytes each over the wire).
-_DEFAULT_CAP = 1 << 18
+#: filter is active (rows; 12-16 bytes each over the wire). Deliberately
+#: small: the post-sort compaction (approx_min_k + gathers) scales with the
+#: cap — 2^18 measured 48.8 ms vs 32 ms at <=2^14 per 7.2M-window group on
+#: the v5e — and genuine overflows are caught by n_out and retried with a
+#: bucketed larger cap (2^14 keeps the 5-genome k=5 protein tables, up to
+#: ~12K rows/file, retry-free).
+_DEFAULT_CAP = 1 << 14
 
 
 def _bucket_size(n: int) -> int:

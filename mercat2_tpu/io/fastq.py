@@ -293,6 +293,12 @@ def trim(
         input_reads=fq.n_reads,
         kept_reads=kept,
         dropped_reads=int(dropped),
+        adapter=adapter.decode() if adapter else None,
+        adapter_detector=(
+            "known-adapter prefix probe (deviation from fastp's "
+            "seed-consensus evaluator; see tests/test_adapter_eval.py "
+            "for the measured delta)"
+        ),
         filters=dict(
             qualified_quality_phred=qualified_quality_phred,
             unqualified_percent_limit=unqualified_percent_limit,
