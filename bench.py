@@ -18,9 +18,13 @@ Secondary configs (stderr `#` lines, recorded in the driver's BENCH tail):
 - k=3 aa (BASELINE.json configs[0]) and k=5 aa cold vs the reference's faa
   count stage = 1.63 s (results/2023-11-29.log, faa-5genomes_gz-10 block;
   the reference logs no k=3 time — k=5 is its nearest measured config).
-- FULL PIPELINE wall + max RSS: `-k 5 -f 5-genomes-fna_gz -pca -prod -fgs
-  -s 10` vs the reference's 2:41.31 elapsed / 250,320 KB max RSS
-  (results/2023-11-29.log, fna-5genomes_gz-10 block).
+- FULL PIPELINE: `-k 5 -f 5-genomes-fna_gz -pca -prod -fgs -s 10` vs the
+  reference's 2:41.31 elapsed / 250,320 KB max RSS (results/2023-11-29.log,
+  fna-5genomes_gz-10 block). Two numbers: WARM in-process wall (steady
+  state — on hosts with a working persistent compile cache every run after
+  the first costs this) and COLD subprocess wall + its own max RSS (pays
+  the one-time server-side XLA compiles, which the tunneled bench chip
+  cannot cache across processes).
 """
 
 from __future__ import annotations
@@ -137,25 +141,63 @@ def _best_of(files: list[Path], k: int, runs: int = 3):
     return total, n, best
 
 
-def _pipeline_wall() -> tuple[float, float]:
-    """(wall seconds, max RSS MB) of one full-pipeline subprocess run.
+def _pipeline_cold() -> tuple[float, float]:
+    """(wall seconds, max RSS MB) of one COLD full-pipeline subprocess.
 
-    The persistent compilation cache makes this the warm-compile number
-    after the first round on a machine (JAX server-side compiles are a
-    one-time cost the reference's interpreter loop does not have).
+    Runs before this process touches the TPU (single-tenant backend). The
+    wall includes every one-time XLA compile: on the tunneled bench chip
+    the persistent compilation cache cannot be deserialized, so each of the
+    pipeline's two uniform count programs costs its full server-side
+    compile here (15-100 s each) — a per-process artifact of the tunnel,
+    not of the framework; real TPU hosts amortize it via the persistent
+    cache. RSS is the subprocess's own ru_maxrss (measured by a wrapper so
+    other children never pollute it).
     """
-    rss0 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-    t0 = time.perf_counter()
-    p = subprocess.run(
-        [sys.executable, "-m", "mercat2_tpu.cli", "-k", "5",
-         "-f", str(DATA_NT), "-o", "/tmp/mercat2_bench_pipeline",
-         "-replace", "-pca", "-prod", "-fgs", "-s", "10"],
-        capture_output=True,
+    code = (
+        "import resource, subprocess, sys, time\n"
+        "t0 = time.perf_counter()\n"
+        "p = subprocess.run(sys.argv[1:])\n"
+        "wall = time.perf_counter() - t0\n"
+        "rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss\n"
+        "print(f'BENCHWALL {wall:.3f} {rss}')\n"
+        "sys.exit(p.returncode)\n"
     )
-    wall = time.perf_counter() - t0
-    rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-    assert p.returncode == 0, p.stdout.decode()[-2000:]
-    return wall, max(rss, rss0) / 1024.0
+    p = subprocess.run(
+        [sys.executable, "-c", code, sys.executable, "-m",
+         "mercat2_tpu.cli", "-k", "5", "-f", str(DATA_NT),
+         "-o", "/tmp/mercat2_bench_pipeline", "-replace", "-pca", "-prod",
+         "-fgs", "-s", "10"],
+        capture_output=True, text=True,
+    )
+    assert p.returncode == 0, (p.stdout[-1000:], p.stderr[-2000:])
+    line = [l for l in p.stdout.splitlines() if l.startswith("BENCHWALL")][-1]
+    _, wall, rss_kb = line.split()
+    return float(wall), float(rss_kb) / 1024.0
+
+
+def _pipeline_warm() -> float:
+    """Warm in-process full-pipeline wall (the steady-state number).
+
+    Runs the same pipeline twice inside this process — the first run
+    compiles/loads the programs, the second measures the warm engine. This
+    is the honest steady-state cost on any host with a working persistent
+    cache (every run after the first); the tunnel's broken cache makes the
+    in-process warm run the only way to measure it here.
+    """
+    from mercat2_tpu.pipeline import PipelineConfig, run_pipeline
+
+    def once() -> float:
+        cfg = PipelineConfig(
+            kmer=5, input_folder=str(DATA_NT), min_count=10,
+            chunk_size_mb=10, output="/tmp/mercat2_bench_pipeline_warm",
+            replace=True, pca=True, prodigal=True, fgs=True,
+        )
+        t0 = time.perf_counter()
+        run_pipeline(cfg)
+        return time.perf_counter() - t0
+
+    once()
+    return once()
 
 
 def main() -> None:
@@ -167,6 +209,10 @@ def main() -> None:
     aa_files = sorted(DATA_AA.glob("*.faa.gz"))
     assert nt_files and aa_files, "reference data missing"
     sustained_files = _stage_sustained()
+
+    # cold pipeline first: the subprocess must own the (single-tenant) TPU
+    # before this process initializes it
+    cold_wall, pipe_rss = _pipeline_cold()
 
     # warm every compiled shape first (first jit on the tunneled backend
     # costs seconds of server-side compile; NOTES_r1.md)
@@ -182,7 +228,7 @@ def main() -> None:
     _, n5, dt5 = _best_of(nt_files, 5)
     residues, n3, dt3 = _best_of(aa_files, 3)
     _, na5, dta5 = _best_of(aa_files, 5)
-    pipe_wall, pipe_rss = _pipeline_wall()
+    pipe_wall = _pipeline_warm()
     self_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
     print(json.dumps({
@@ -208,10 +254,13 @@ def main() -> None:
     print(f"# k=5  aa cold: {na5} kmers, {dta5:.3f} s "
           f"(ref faa count stage {BASELINE_AA_K5_S:.2f} s -> "
           f"{BASELINE_AA_K5_S/dta5:.1f}x)", file=e)
-    print(f"# full pipeline (-k 5 -pca -prod -fgs -s 10): {pipe_wall:.1f} s "
-          f"(ref {BASELINE_PIPELINE_S:.1f} s -> "
-          f"{BASELINE_PIPELINE_S/pipe_wall:.2f}x), "
-          f"max RSS {pipe_rss:.0f} MB (ref {BASELINE_PIPELINE_RSS_KB/1024:.0f} MB); "
+    print(f"# full pipeline (-k 5 -pca -prod -fgs -s 10) WARM: "
+          f"{pipe_wall:.1f} s (ref {BASELINE_PIPELINE_S:.1f} s -> "
+          f"{BASELINE_PIPELINE_S/pipe_wall:.2f}x); "
+          f"COLD subprocess {cold_wall:.1f} s "
+          f"({BASELINE_PIPELINE_S/cold_wall:.2f}x, incl. one-time XLA "
+          f"compiles), max RSS {pipe_rss:.0f} MB "
+          f"(ref {BASELINE_PIPELINE_RSS_KB/1024:.0f} MB); "
           f"bench max RSS {self_rss:.0f} MB", file=e)
 
 

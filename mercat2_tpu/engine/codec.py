@@ -27,7 +27,10 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["Codec", "DNA_CODEC", "PROTEIN_CODEC", "codec_for_bytes", "alphabet_of"]
+__all__ = [
+    "Codec", "DNA_CODEC", "PROTEIN_CODEC", "codec_for_bytes", "alphabet_of",
+    "canonical_codec",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +107,29 @@ DNA_CODEC = _codec_from_ascii("ACGT", 2)
 #: The 26 uppercase letters (covers the 25 amino-acid codes appearing in the
 #: reference's metric tables, /root/reference/lib/mercat2_metrics.py:104-130).
 PROTEIN_CODEC = _codec_from_ascii("ABCDEFGHIJKLMNOPQRSTUVWXYZ", 5)
+
+
+def canonical_codec(present: np.ndarray) -> Codec | None:
+    """A canonical codec covering the alphabet, or None.
+
+    The pipeline's uniform count path (engine.counter.dispatch_packed_uniform)
+    compiles ONE device program per (k, codec) family; on backends where
+    every distinct compiled program costs tens of seconds (server-side XLA
+    compiles over the TPU tunnel; persistent-cache deserialization is not
+    supported there), shrinking the codec family to two canonical members
+    matters far more than saving a key bit. Uppercase ACGT data maps to the
+    2-bit DNA codec, anything A-Z to the 5-bit protein codec; unusual
+    alphabets (ambiguity bytes, lowercase, digits) keep data-driven codecs.
+    Wider-than-needed codecs never change results: codes are simply sparse.
+    """
+    present = np.asarray(present, dtype=np.uint8)
+    if present.size == 0:
+        return DNA_CODEC
+    if DNA_CODEC.covers(present):
+        return DNA_CODEC
+    if PROTEIN_CODEC.covers(present):
+        return PROTEIN_CODEC
+    return None
 
 
 def alphabet_of(data: np.ndarray) -> np.ndarray:

@@ -916,14 +916,17 @@ class KmerCounter:
         return NumpySource(seq, rec, self.codec)
 
     def build_packed_group(self, sources: list, bucket: int | None = None,
-                           workers: int | None = None) -> PackedGroup | None:
+                           workers: int | None = None,
+                           gap_slots: int | None = None) -> PackedGroup | None:
         """Assemble one transport buffer for several files.
 
         File segments are word-aligned (so the native fillers write disjoint
         uint32s and can run in parallel threads) and separated by >= 1 gap
         symbol; record gaps, inter-file gaps and tail padding all become gap
         ranges for the device-side validity mask. Returns None when no file
-        contributes a window.
+        contributes a window. ``gap_slots`` forces the padded gap-array
+        length (callers of the fixed-shape uniform path must guarantee the
+        real gap count fits); default pads to the next power of two.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -945,9 +948,14 @@ class KmerCounter:
         total = off
         if total < self.k:
             return None
-        size = _bucket_size(total)
-        if bucket is not None:
-            size = max(size, bucket)
+        if gap_slots is not None:
+            # fixed-shape (uniform) path: the bucket IS the shape
+            assert bucket is not None and total <= bucket, (total, bucket)
+            size = bucket
+        else:
+            size = _bucket_size(total)
+            if bucket is not None:
+                size = max(size, bucket)
         size = -(-size // per) * per  # whole words (bits may not divide 32)
         words = np.zeros(size // per, np.uint32)
         lut = self.codec.lut_encode()
@@ -978,7 +986,11 @@ class KmerCounter:
         gap_end = np.concatenate(ge)
         # pad the gap arrays to a power of two (>= 16) so a handful of
         # compiled shapes cover every dataset; pads clamp to no-ops
-        g = max(16, 1 << (int(gap_begin.shape[0]) - 1).bit_length())
+        if gap_slots is None:
+            g = max(16, 1 << (int(gap_begin.shape[0]) - 1).bit_length())
+        else:
+            g = gap_slots
+            assert gap_begin.shape[0] <= g, (gap_begin.shape[0], g)
         pad = g - gap_begin.shape[0]
         noop = size + self.k
         gap_begin = np.concatenate([gap_begin, np.full(pad, noop)])
@@ -1144,6 +1156,219 @@ class KmerCounter:
             self, dev, min_count, cap, mode, shift, n_files, group.n_sym,
             words, counts, n_out,
         )
+
+    # -- uniform fixed-shape launches (pipeline path) ----------------------
+
+    #: fixed transport shape family for :meth:`dispatch_packed_uniform`.
+    #: One (k, codec) pair compiles exactly ONE device program for a whole
+    #: pipeline run — chosen for backends where every distinct compiled
+    #: program costs tens of seconds (server-side XLA compiles over a TPU
+    #: tunnel, where persistent-cache deserialization is unsupported) and a
+    #: few ms of extra sort padding per launch is irrelevant. 2^24 symbols
+    #: fits any default pipeline chunk (<= 100 MB inputs are pre-chunked,
+    #: /root/reference/bin/mercat2.py:312-328 semantics).
+    _UNIFORM_SYMS = 1 << 24
+    _UNIFORM_FILES = 32
+    _UNIFORM_GAPS = 1 << 17
+    _UNIFORM_CAP = 1 << 19
+
+    def _uniform_n_sym(self) -> int:
+        per = 32 // self.codec.bits
+        return -(-self._UNIFORM_SYMS // per) * per
+
+    @staticmethod
+    def _gap_bound(source) -> int:
+        """Upper bound on the gap ranges one source contributes."""
+        n = getattr(source, "num_records", None)
+        if n is None:
+            n = getattr(source, "_lens", np.zeros(0)).shape[0]
+        return int(n) + 2
+
+    def dispatch_packed_fixed(self, group: PackedGroup, min_count: int,
+                              n_real_files: int):
+        """Enqueue one uniform-shape fid-tagged launch (see
+        :meth:`dispatch_packed_uniform`). ``group`` must have the fixed
+        ``_uniform_n_sym`` symbol count and ``_UNIFORM_GAPS`` gap slots;
+        ``file_starts`` is padded here to ``_UNIFORM_FILES`` entries."""
+        from mercat2_tpu.ops.finalize import count_kmers_packed, fid_layout
+
+        n_files = self._UNIFORM_FILES
+        starts = np.full(n_files, group.n_sym, np.int32)
+        starts[:n_real_files] = group.file_starts
+        cap = self._UNIFORM_CAP
+        mode, shift = fid_layout(self.k, self.codec.bits, n_files)
+        dev = (
+            jnp.asarray(group.words),
+            jnp.asarray(group.gap_begin),
+            jnp.asarray(group.gap_end),
+            jnp.asarray(starts),
+        )
+        words, counts, n_out = count_kmers_packed(
+            *dev, jnp.int32(min_count),
+            k=self.k, bits=self.codec.bits, alphabet_size=self.codec.size,
+            cap=cap, n_files=n_files, n_sym=group.n_sym,
+        )
+        return _PendingPacked(
+            self, dev, min_count, cap, mode, shift, n_files, group.n_sym,
+            words, counts, n_out,
+        )
+
+    #: files (= dense histogram segments) per launch of the dense uniform
+    #: program; each occupies its own fixed 2^24-symbol slot
+    _UNIFORM_DENSE_SLOTS = 2
+
+    def _dispatch_uniform_dense(
+        self, sources: list, min_count: int, workers: int | None = None
+    ) -> list[PendingCount] | None:
+        """Fixed-shape MXU-histogram launches (small keyspaces).
+
+        One file per fixed 2^24-symbol slot, _UNIFORM_DENSE_SLOTS slots per
+        launch, every launch the SAME compiled program — the sort-free
+        sibling of :meth:`dispatch_packed_uniform` (a dense program
+        compiles several times faster than one containing a 2^24-row sort,
+        which matters on backends where the compile happens per process).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mercat2_tpu.ops.mxu_hist import count_kmers_dense_segments
+
+        per = 32 // self.codec.bits
+        n_sym = self._uniform_n_sym()
+        slots = self._UNIFORM_DENSE_SLOTS
+        gap = _REC_GAP
+        lens = [s.packed_len(gap) for s in sources]
+        if any(length > self._UNIFORM_SYMS for length in lens):
+            return None
+        if any(self._gap_bound(s) > self._UNIFORM_GAPS // slots - 2
+               for s in sources):
+            return None
+        seg_words = tuple(
+            (i * (n_sym // per), (i + 1) * (n_sym // per))
+            for i in range(slots)
+        )
+        lut = self.codec.lut_encode()
+        noop = slots * n_sym + self.k
+
+        results: list[PendingCount] = [None] * len(sources)  # type: ignore
+        for g0 in range(0, len(sources), slots):
+            batch = sources[g0 : g0 + slots]
+            words = np.zeros(slots * (n_sym // per), np.uint32)
+
+            def fill(i: int) -> None:
+                batch[i].fill_packed(
+                    self.codec.bits, gap, lut, words, i * n_sym
+                )
+
+            if len(batch) > 1 and workers != 1:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    list(pool.map(fill, range(len(batch))))
+            else:
+                for i in range(len(batch)):
+                    fill(i)
+
+            gb: list[np.ndarray] = []
+            ge: list[np.ndarray] = []
+            for i in range(slots):
+                off = i * n_sym
+                if i < len(batch):
+                    b, e = batch[i].gap_ranges(gap)
+                    gb.append(np.asarray(b, np.int64) + off)
+                    ge.append(np.asarray(e, np.int64) + off)
+                    gb.append(np.asarray([off + lens[g0 + i]], np.int64))
+                else:  # empty slot: fully masked
+                    gb.append(np.asarray([off], np.int64))
+                ge.append(np.asarray([off + n_sym], np.int64))
+            gap_begin = np.concatenate(gb)
+            gap_end = np.concatenate(ge)
+            pad = self._UNIFORM_GAPS - gap_begin.shape[0]
+            gap_begin = np.concatenate([gap_begin, np.full(pad, noop)])
+            gap_end = np.concatenate([gap_end, np.full(pad, noop)])
+
+            hists = count_kmers_dense_segments(
+                jnp.asarray(words),
+                jnp.asarray(gap_begin.astype(np.int32)),
+                jnp.asarray(gap_end.astype(np.int32)),
+                k=self.k, bits=self.codec.bits,
+                alphabet_size=self.codec.size, seg_words=seg_words,
+            )
+            multi = _PendingDenseSegments(self, hists, min_count)
+            multi.prefetch()
+            for i in range(len(batch)):
+                results[g0 + i] = _MultiView(multi, i)
+        return results
+
+    def dispatch_packed_uniform(
+        self, sources: list, min_count: int = 1, workers: int | None = None
+    ) -> list[PendingCount] | None:
+        """Count all sources through ONE compiled program shape.
+
+        Files are greedy-packed into fixed 2^24-symbol fid-tagged transport
+        buffers (<= 32 files, <= 2^17 gap ranges each) and every buffer runs
+        the SAME compiled ``count_kmers_packed`` program — the count path
+        for pipeline runs, where program-compile count dominates wall time
+        (cold XLA compiles cost 15-100 s each on tunneled backends and
+        per-process caching is unavailable; see NOTES_r4). Small keyspaces
+        route to the sort-free dense sibling (:meth:`_dispatch_uniform_dense`),
+        whose program compiles several times faster. Returns one
+        PendingCount per source, or None when some source does not fit the
+        fixed shape (caller falls back to the adaptive-shape dispatchers).
+        """
+        from mercat2_tpu.ops.mxu_hist import MXU_MAX_BINS
+
+        if self._DENSE_SMALL_K and self._keyspace() <= MXU_MAX_BINS:
+            dense = self._dispatch_uniform_dense(sources, min_count, workers)
+            if dense is not None:
+                return dense
+        n_sym = self._uniform_n_sym()
+        gap = _REC_GAP
+        per = 32 // self.codec.bits
+        lens = [s.packed_len(gap) for s in sources]
+        gapb = [self._gap_bound(s) for s in sources]
+        # word-aligned usable capacity mirrors build_packed_group layout:
+        # each file's segment is padded to whole words plus one gap symbol.
+        # Capped at 2^24 exactly (not the word-rounded n_sym) so the
+        # content total always buckets to <= n_sym inside build_packed_group.
+        usable = self._UNIFORM_SYMS
+        if any(length + per > usable for length in lens):
+            return None
+        if any(b > self._UNIFORM_GAPS - 2 for b in gapb):
+            return None
+
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        cur_sym = cur_gaps = 0
+        for i, (length, b) in enumerate(zip(lens, gapb)):
+            seg = -(-(length + 1) // per) * per  # segment incl. alignment gap
+            if cur and (
+                cur_sym + seg > usable
+                or len(cur) >= self._UNIFORM_FILES
+                or cur_gaps + b > self._UNIFORM_GAPS - 2
+            ):
+                groups.append(cur)
+                cur, cur_sym, cur_gaps = [], 0, 0
+            cur.append(i)
+            cur_sym += seg
+            cur_gaps += b
+        if cur:
+            groups.append(cur)
+
+        results: list[PendingCount] = [None] * len(sources)  # type: ignore
+        for g in groups:
+            subset = [sources[i] for i in g]
+            built = self.build_packed_group(
+                subset, bucket=n_sym, workers=workers,
+                gap_slots=self._UNIFORM_GAPS,
+            )
+            if built is None:
+                for i in g:
+                    results[i] = _EmptyPending(self.k)
+                continue
+            assert built.n_sym == n_sym, (built.n_sym, n_sym)
+            pending = self.dispatch_packed_fixed(built, min_count, len(g))
+            pending.prefetch()
+            for r, i in enumerate(g):
+                results[i] = _MultiView(pending, r)
+        return results
 
     #: max combined symbols per segmented launch. NOT a sort-size bound
     #: (segments sort separately inside the program) — this paces h2d /

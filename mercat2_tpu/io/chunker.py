@@ -19,20 +19,21 @@ from pathlib import Path
 
 __all__ = ["chunk_file", "maybe_chunk", "human2bytes"]
 
-#: binary-prefix unit spellings accepted by :func:`human2bytes`, matching
-#: the reference's grammar (/root/reference/lib/mercat2_Chunker.py:82-139):
-#: single letters, IEC "Ki"-style, and spelled-out decimal/IEC names. All
-#: are powers of 1024.
+#: unit spellings accepted by :func:`human2bytes` — the reference's exact
+#: case-sensitive table (/root/reference/lib/mercat2_Chunker.py:82-139):
+#: uppercase single letters, IEC "Ki"-style, lowercase spelled-out
+#: decimal/IEC names, plus the lone lowercase "k" alias for "K". All are
+#: powers of 1024.
 _UNIT_SPELLINGS = {
-    0: ("b", "byte"),
-    1: ("k", "ki", "kilo", "kibi"),
-    2: ("m", "mi", "mega", "mebi"),
-    3: ("g", "gi", "giga", "gibi"),
-    4: ("t", "ti", "tera", "tebi"),
-    5: ("p", "pi", "peta", "pebi"),
-    6: ("e", "ei", "exa", "exbi"),
-    7: ("z", "zi", "zetta", "zebi"),
-    8: ("y", "yi", "iotta", "yobi"),
+    0: ("B", "byte", "Bi"),
+    1: ("K", "kilo", "Ki", "kibi", "k"),
+    2: ("M", "mega", "Mi", "mebi"),
+    3: ("G", "giga", "Gi", "gibi"),
+    4: ("T", "tera", "Ti", "tebi"),
+    5: ("P", "peta", "Pi", "pebi"),
+    6: ("E", "exa", "Ei", "exbi"),
+    7: ("Z", "zetta", "Zi", "zebi"),
+    8: ("Y", "iotta", "Yi", "yobi"),
 }
 _UNIT_EXP = {
     spelling: exp for exp, names in _UNIT_SPELLINGS.items() for spelling in names
@@ -56,7 +57,7 @@ def human2bytes(s: str) -> int:
     unit = text[i:].strip()
     if not unit:
         return int(num)
-    exp = _UNIT_EXP.get(unit.lower())
+    exp = _UNIT_EXP.get(unit)
     if exp is None:
         raise ValueError(f"can't interpret {s!r}")
     return int(num * (1 << (10 * exp)))

@@ -87,8 +87,14 @@ def compute_beta_diversity(basename: str, counts_tsv, outpath) -> list[str]:
             counts.append([int(x) for x in cols[1:]])
     mat = np.asarray(counts, dtype=np.int64)
 
-    done = []
-    for metric in BETA_METRICS:
+    # distance computation is cheap; the per-metric PNG render is not
+    # (~0.3 s each through matplotlib), so metrics run in a thread pool
+    # using the pyplot-free object API (Figure + Agg canvas carries no
+    # global state, unlike pyplot). The reference renders its seaborn
+    # heatmaps serially inside one Ray task (lib/mercat2_diversity.py:56-105).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(metric: str) -> str | None:
         try:
             distance = beta_distance_matrix(metric, mat)
             with open(outpath / f"{metric}-{basename}.tsv", "w") as writer:
@@ -96,24 +102,27 @@ def compute_beta_diversity(basename: str, counts_tsv, outpath) -> list[str]:
                 for i, row in enumerate(distance):
                     print(ids[i], *row, sep="\t", file=writer)
             _heatmap_png(distance, ids, outpath / f"{metric}-{basename}.png")
-            done.append(metric)
+            return metric
         except Exception as e:  # reference logs and continues (lines 101-103)
             print(f"Error with beta metric: {metric.capitalize()}")
             print(e)
+            return None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        done = [m for m in pool.map(one, BETA_METRICS) if m]
     return done
 
 
 def _heatmap_png(distance: np.ndarray, ids: list[str], path) -> None:
-    import matplotlib
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(6, 5))
+    fig = Figure(figsize=(6, 5))
+    FigureCanvasAgg(fig)
+    ax = fig.add_subplot()
     im = ax.imshow(distance, cmap="viridis")
     ax.set_xticks(range(len(ids)), ids, rotation=45, fontsize=7)
     ax.set_yticks(range(len(ids)), ids, fontsize=7)
     fig.colorbar(im, ax=ax)
     fig.tight_layout()
     fig.savefig(path, dpi=110)
-    plt.close(fig)

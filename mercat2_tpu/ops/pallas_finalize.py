@@ -1,0 +1,407 @@
+"""Pallas TPU kernels for the k-mer count hot path.
+
+Two fused kernels replace the XLA op chains around the device sort (the
+sort itself stays ``jax.lax.sort``; XLA's TPU sort is close to memory
+speed-of-light and a Pallas rewrite is the wrong complexity trade):
+
+- :func:`build_keys_pallas` — packed transport words -> masked rolling
+  sort-key columns. Fuses unpack (bit extraction), the k-window multiword
+  rolling pack, and validity masking into ONE pass over HBM. The XLA
+  log-tree version (ops.kmer_pack.pack_kmer_words) materializes every
+  intermediate (~8 ms per 8.4M windows on a v5e); this kernel keeps the
+  whole tree in VMEM and writes only the final key columns.
+
+- :func:`finalize_sorted_pallas` — sorted key columns -> compacted
+  (key, count) table in one sequential-grid pass. Replaces the XLA chain
+  boundary / reverse-cummin run-length / approx_min_k select / gathers
+  (~8 ms per 8.4M rows) with a scan-free formulation:
+
+    * a run ending at row j passes the min-count filter iff
+      ``key[j-1] == key[j-min_count]`` — over SORTED keys, equal endpoints
+      imply the whole span is equal, so no running scan is needed;
+    * survivors are rare (min-count filters kill almost everything), so
+      emission is a short dynamic loop: each survivor is located with a
+      masked min-reduce and written with scalar stores at a cursor carried
+      in SMEM across the sequential grid (TPU grids execute in order).
+
+Both kernels are bit-exact vs their XLA counterparts; tests run them in
+interpreter mode on CPU, and the engine routes to them only on real TPU
+backends. The reference has no counterpart (its hot loop is a Python dict,
+/root/reference/lib/mercat2_kmers.py:56-76); the design is TPU-first.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["build_keys_pallas", "finalize_sorted_pallas", "pallas_ok"]
+
+# plain numpy scalars: jnp scalars would be traced constants, which
+# pallas kernels may not close over
+_ONES32 = np.uint32(0xFFFFFFFF)
+_BIG = np.int32(2**31 - 1)
+
+#: rows per sequential finalize tile (as a (64, 128) block)
+_FIN_R = 64
+_FIN_TILE = _FIN_R * 128
+#: windows per key-build tile (as a (128, 128) block)
+_KEY_R = 128
+_KEY_TILE = _KEY_R * 128
+
+
+def pallas_ok() -> bool:
+    """True when compiled Pallas TPU kernels can run on the default backend."""
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# flat-order helpers on (R, 128) tiles
+# ---------------------------------------------------------------------------
+
+
+def _roll_flat(x: jax.Array, s: int) -> jax.Array:
+    """Circular roll in row-major flat order: out[f] = x[(f - s) mod n]."""
+    R, C = x.shape
+    n = R * C
+    s %= n
+    if s == 0:
+        return x
+    a, b = divmod(s, C)
+    if b:
+        t = pltpu.roll(x, b, axis=1)
+        tp = pltpu.roll(t, 1, axis=0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+        x = jnp.where(col < b, tp, t)
+    if a:
+        x = pltpu.roll(x, a, axis=0)
+    return x
+
+
+def _shift_from_prev(x: jax.Array, prev: jax.Array, s: int) -> jax.Array:
+    """out[f] = x[f - s], with x[-i] taken from the tail of ``prev``.
+
+    ``x`` and ``prev`` are consecutive (R, 128) tiles of one flat stream
+    (``prev`` immediately precedes ``x``); 0 < s < R*128 static.
+    """
+    R, C = x.shape
+    xs = _roll_flat(x, s)
+    ps = _roll_flat(prev, s)
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
+        + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    )
+    return jnp.where(flat < s, ps, xs)
+
+
+def _flat_slice(x: jax.Array, off: int, rows: int) -> jax.Array:
+    """rows*128 flat elements of ``x`` starting at flat offset ``off``
+    (static). Elements past the end wrap circularly — callers must not
+    depend on the wrapped tail."""
+    return _roll_flat(x, -off)[:rows]
+
+
+# ---------------------------------------------------------------------------
+# finalize_sorted_pallas
+# ---------------------------------------------------------------------------
+
+
+def _finalize_kernel(nv_ref, *refs, n_words: int, min_count: int, cap: int,
+                     p: int):
+    i = pl.program_id(0)
+    n_valid = nv_ref[0]
+    in_refs = refs[:n_words]
+    out_refs = refs[n_words : 2 * n_words]
+    counts_ref = refs[2 * n_words]
+    nout_ref = refs[2 * n_words + 1]
+    carry = refs[2 * n_words + 2]          # SMEM [cursor, open_run_start]
+    prevs = refs[2 * n_words + 3 :]        # n_words VMEM (R,128) prev tiles
+
+    cols = [r[...] for r in in_refs]
+    R, C = cols[0].shape
+
+    @pl.when(i == 0)
+    def _():
+        carry[0] = 0
+        carry[1] = 0
+        for w in range(n_words):
+            # seed so row 0 compares equal to its "previous" row: the run
+            # at position 0 opens without a boundary
+            prevs[w][...] = jnp.full((R, C), cols[w][0, 0], jnp.uint32)
+
+    base = i * (R * C)
+    pos = base + (
+        jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
+        + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    )
+
+    prev1 = [_shift_from_prev(cols[w], prevs[w][...], 1)
+             for w in range(n_words)]
+    neq = None
+    for w in range(n_words):
+        d = cols[w] != prev1[w]
+        neq = d if neq is None else (neq | d)
+    boundary = neq & (pos <= n_valid)
+
+    # min-count test without a scan: over sorted keys, the run ending at j
+    # spans >= min_count rows iff key[j-1] == key[j-min_count]
+    if min_count <= 1:
+        long_enough = jnp.full((R, C), True)
+    else:
+        prevmc = [_shift_from_prev(cols[w], prevs[w][...], min_count)
+                  for w in range(n_words)]
+        long_enough = None
+        for w in range(n_words):
+            e = prev1[w] == prevmc[w]
+            long_enough = e if long_enough is None else (long_enough & e)
+    keep = boundary & long_enough & (pos >= min_count)
+
+    emit_cnt = jnp.sum(keep.astype(jnp.int32))
+    cursor = carry[0]
+    open_start = carry[1]
+    bpos = jnp.where(boundary, pos, np.int32(-1))
+
+    def body(j, mask):
+        m = jnp.min(jnp.where(mask, pos, _BIG))
+        start = jnp.maximum(open_start, jnp.max(jnp.where(bpos < m, bpos,
+                                                          np.int32(-1))))
+        at_m = pos == m
+        idx = cursor + j
+
+        @pl.when(idx < cap)
+        def _():
+            for w in range(n_words):
+                out_refs[w][idx] = jnp.max(
+                    jnp.where(at_m, prev1[w], np.uint32(0))
+                )
+            counts_ref[idx] = m - start
+
+        return mask & jnp.logical_not(at_m)
+
+    jax.lax.fori_loop(0, emit_cnt, body, keep)
+
+    carry[0] = cursor + emit_cnt
+    carry[1] = jnp.maximum(open_start, jnp.max(bpos))
+    for w in range(n_words):
+        prevs[w][...] = cols[w]
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        nout_ref[0] = carry[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_count", "cap", "interpret")
+)
+def finalize_sorted_pallas(words, n_valid, *, min_count: int, cap: int,
+                           interpret: bool = False):
+    """Sorted masked key columns -> compacted (words, counts, n_out).
+
+    Same contract as ops.finalize.finalize_sorted, with a STATIC
+    ``min_count`` (the engine's value is a per-run constant): returns the
+    leading ``cap`` rows of the surviving sorted table plus the true
+    survivor count ``n_out`` (> cap signals overflow; callers retry).
+
+    Requirements: every valid key differs from the all-ones marker in at
+    least one word (guaranteed by build_keyed_words), and
+    ``min_count < _FIN_TILE``.
+    """
+    n_words = len(words)
+    p = int(words[0].shape[0])
+    assert 1 <= min_count < _FIN_TILE
+    # pad to whole tiles with the all-ones marker, at least one row PAST p
+    # so the final run is always closed by an in-stream boundary
+    n_tiles = (p + _FIN_TILE) // _FIN_TILE
+    p_pad = n_tiles * _FIN_TILE
+    import numpy as np
+
+    padded = [
+        jnp.pad(
+            w, (0, p_pad - p), constant_values=np.uint32(0xFFFFFFFF)
+        ).reshape(n_tiles * _FIN_R, 128)
+        for w in words
+    ]
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _finalize_kernel, n_words=n_words, min_count=min_count, cap=cap, p=p
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            # index maps receive (grid idx, scalar-prefetch ref)
+            pl.BlockSpec((_FIN_R, 128), lambda i, _nv: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_words)
+        ],
+        out_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)
+             for _ in range(n_words + 1)]
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        ),
+        scratch_shapes=(
+            [pltpu.SMEM((2,), jnp.int32)]
+            + [pltpu.VMEM((_FIN_R, 128), jnp.uint32) for _ in range(n_words)]
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            tuple(jax.ShapeDtypeStruct((cap,), jnp.uint32)
+                  for _ in range(n_words))
+            + (jax.ShapeDtypeStruct((cap,), jnp.int32),
+               jax.ShapeDtypeStruct((1,), jnp.int32))
+        ),
+        interpret=interpret,
+    )(nv, *padded)
+    return tuple(out[:n_words]), out[n_words], out[n_words + 1][0]
+
+
+# ---------------------------------------------------------------------------
+# build_keys_pallas
+# ---------------------------------------------------------------------------
+
+
+def _build_keys_kernel(wm_ref, wh_ref, valid_ref, *out_refs, k: int,
+                       bits: int, payload: int, tiebreak: bool):
+    per = 32 // bits
+    mask_b = np.uint32((1 << bits) - 1)
+
+    # unpack: words laid out (rows, 128//per) so that repeat along lanes
+    # reproduces row-major flat symbol order
+    def unpack(words2d):
+        rows, wpl = words2d.shape
+        # element-wise repeat along lanes: [r, c] = words2d[r, c // per]
+        # (NOT pltpu.repeat, which tiles whole copies)
+        lanes = jnp.broadcast_to(
+            words2d[:, :, None], (rows, wpl, per)
+        ).reshape(rows, wpl * per)
+        col = jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 1)
+        shift = (
+            np.uint32(32) - np.uint32(bits) * ((col % per) + 1).astype(jnp.uint32)
+        )
+        return (lanes >> shift) & mask_b
+
+    codes_main = unpack(wm_ref[...])      # (_KEY_R, 128)
+    codes_halo = unpack(wh_ref[...])      # (halo rows, 128)
+    codes = jnp.concatenate([codes_main, codes_halo], axis=0)
+
+    # log-tree rolling pack entirely in VMEM (see ops.kmer_pack)
+    pows = [codes]
+    m = 1
+    while 2 * m <= per:
+        pm = pows[-1]
+        pows.append(
+            (pm << np.uint32(m * bits)) | _flat_slice(pm, m, pm.shape[0])
+        )
+        m *= 2
+
+    def pack_range(a: int, s: int) -> jax.Array:
+        acc = None
+        off, rem = a, s
+        for j in range(len(pows) - 1, -1, -1):
+            mj = 1 << j
+            if rem >= mj:
+                part = _flat_slice(pows[j], off, _KEY_R)
+                acc = part if acc is None else (
+                    (acc << np.uint32(mj * bits)) | part
+                )
+                off += mj
+                rem -= mj
+        assert rem == 0
+        return acc
+
+    kb0 = k * bits - 32 * (payload - 1)
+    s0 = kb0 // bits
+    cols = [pack_range(0, s0)]
+    a = s0
+    for _ in range(payload - 1):
+        cols.append(pack_range(a, per))
+        a += per
+
+    valid = valid_ref[...] != 0
+    for w in range(payload):
+        out_refs[w][...] = jnp.where(valid, cols[w], _ONES32)
+    if tiebreak:
+        out_refs[payload][...] = jnp.where(valid, np.uint32(0), _ONES32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bits", "p", "interpret")
+)
+def build_keys_pallas(packed: jax.Array, valid_u8: jax.Array, *, k: int,
+                      bits: int, p: int, interpret: bool = False):
+    """Packed transport words + validity bytes -> masked sort-key columns.
+
+    Fused equivalent of ``unpack_codes`` + ``pack_kmer_words`` +
+    ``build_keyed_words`` for word-aligned symbol widths whose per-word
+    symbol count divides 128 (bits in {1, 2, 4} — i.e. the DNA hot path).
+
+    Args:
+        packed: uint32[W] big-endian packed symbols (host transport layout).
+        valid_u8: uint8[>= p] window validity (0/1), entries >= p must be 0.
+        p: number of windows.
+
+    Returns:
+        tuple of key columns uint32[p] (payload + optional tie-break),
+        masked like build_keyed_words for the single-file case.
+    """
+    from mercat2_tpu.ops.kmer_pack import key_words_for
+
+    per = 32 // bits
+    assert 32 % bits == 0 and 128 % per == 0, (bits, per)
+    assert 2 <= k <= 129, k  # one extra 128-symbol row covers the lookahead
+    total_words, tiebreak = key_words_for(k, bits)
+    payload = total_words - int(tiebreak)
+
+    n_tiles = -(-p // _KEY_TILE)
+    p_pad = n_tiles * _KEY_TILE
+    wpl = 128 // per                       # words per 128-symbol row
+    halo_rows = 2                          # symbol rows of lookahead
+    # words laid out (sym_rows, wpl); pad one extra halo block
+    need_words = (p_pad // 128 + halo_rows) * wpl
+    if packed.shape[0] < need_words:
+        packed = jnp.pad(packed, (0, need_words - packed.shape[0]))
+    words2d = packed[: need_words].reshape(-1, wpl)
+    if valid_u8.shape[0] < p_pad:
+        valid_u8 = jnp.pad(valid_u8, (0, p_pad - valid_u8.shape[0]))
+    valid2d = valid_u8[:p_pad].reshape(-1, 128)
+
+    kernel = functools.partial(
+        _build_keys_kernel, k=k, bits=bits, payload=payload,
+        tiebreak=bool(tiebreak),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            # one words2d row holds the wpl words of one 128-symbol row
+            pl.BlockSpec((_KEY_R, wpl), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (halo_rows, wpl),
+                lambda i: ((i + 1) * (_KEY_R // halo_rows), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((_KEY_R, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((_KEY_R, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(total_words)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((p_pad // 128, 128), jnp.uint32)
+            for _ in range(total_words)
+        ),
+        interpret=interpret,
+    )(words2d, words2d, valid2d)
+    return tuple(o.reshape(p_pad)[:p] for o in out)

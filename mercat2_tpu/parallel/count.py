@@ -459,7 +459,9 @@ def sharded_count_sources(counter, sources: list, min_count: int,
     source), but the h2d transport ships the same bit-packed words as the
     single-chip packed path (engine.counter.build_packed_group) — 4x fewer
     bytes for DNA on real multi-chip hardware. Requires a packable codec
-    (``32 % bits == 0``).
+    (``bits <= 6``; whole words carry ``per = 32 // bits`` symbols, any
+    spare high bits stay zero — e.g. the 5-bit protein codec packs 6
+    symbols per word with 2 spare bits).
     """
     from mercat2_tpu.engine.counter import (
         KmerTable, _DEFAULT_CAP, _split_fid_tables,

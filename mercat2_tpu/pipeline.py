@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import shutil
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -116,7 +117,9 @@ def _group_plan(group: dict, k: int, workers: int | None = None):
     """
     import numpy as np
 
-    from mercat2_tpu.engine.codec import alphabet_of, codec_for_alphabet
+    from mercat2_tpu.engine.codec import (
+        alphabet_of, canonical_codec, codec_for_alphabet,
+    )
     from mercat2_tpu.io.native import open_fasta_native
 
     paths = [f for files in group.values() for f in files]
@@ -147,7 +150,11 @@ def _group_plan(group: dict, k: int, workers: int | None = None):
         for nf in handles.values():
             nf.close()
         return None, {}
-    return codec_for_alphabet(alpha.astype(np.uint8)), handles
+    alpha = alpha.astype(np.uint8)
+    # canonical codecs (2-bit DNA / 5-bit protein) keep the whole pipeline
+    # on two compiled program families — see engine.codec.canonical_codec
+    codec = canonical_codec(alpha)
+    return (codec if codec is not None else codec_for_alphabet(alpha)), handles
 
 
 def _build_stream(path, counter: KmerCounter, bucket: int | None, nf=None):
@@ -172,6 +179,52 @@ def _build_stream(path, counter: KmerCounter, bucket: int | None, nf=None):
     if seq.shape[0] < counter.k:
         return None
     return counter.build_stream(seq, rec, bucket)
+
+
+#: in-flight speculative compiles of the uniform count program, keyed by
+#: (k, codec.bits, codec.size). See _start_prewarm.
+_PREWARMS: dict[tuple, threading.Thread] = {}
+
+
+def _prewarm_uniform(k: int, codec, min_count: int) -> None:
+    import numpy as np
+
+    from mercat2_tpu.engine.counter import KmerCounter, NumpySource
+
+    try:
+        counter = KmerCounter(k, codec)
+        seq = np.tile(codec.symbols[: min(4, codec.size)], max(k, 8))
+        src = NumpySource(seq, np.zeros(seq.shape[0], np.int64), codec)
+        pendings = counter.dispatch_packed_uniform([src], min_count)
+        for p in pendings or []:
+            p.table()
+    except Exception:  # pragma: no cover - speculative; real path reports
+        pass
+
+
+def _start_prewarm(k: int, codec, min_count: int) -> None:
+    """Compile the uniform count program for (k, codec) in the background.
+
+    Distinct XLA programs cost 15-100 s each to compile on tunneled TPU
+    backends (no usable persistent cache there), so the pipeline kicks the
+    two known program families off as soon as the input mix is known —
+    overlapping the compile with host-side load / clean / ORF stages. The
+    count stage joins the matching thread before dispatching.
+    """
+    key = (k, codec.bits, codec.size)
+    if key in _PREWARMS:
+        return
+    t = threading.Thread(
+        target=_prewarm_uniform, args=(k, codec, min_count), daemon=True
+    )
+    _PREWARMS[key] = t
+    t.start()
+
+
+def _join_prewarm(k: int, codec) -> None:
+    t = _PREWARMS.get((k, codec.bits, codec.size))
+    if t is not None:
+        t.join()
 
 
 def _resolve_mesh(policy: str):
@@ -329,6 +382,44 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
     window = max(8, 2 * (workers or 4))
     tables: dict[str, list] = {basename: [] for basename in group}
     tsv_list: dict[str, Path] = {}
+
+    if counter.packable() and min_count > 1:
+        # Uniform fixed-shape launches: the whole round shares ONE compiled
+        # device program per (k, codec) family. On backends where every
+        # distinct program costs 15-100 s of server-side XLA compile (and
+        # the persistent cache cannot be deserialized), program count — not
+        # device ms — dominates pipeline wall time. The adaptive-shape
+        # dispatchers below remain for min_count == 1 (unbounded tables)
+        # and non-packable codecs.
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            built = list(pool.map(
+                lambda bf: (bf[0], counter.source_for(
+                    bf[1], (handles or {}).pop(bf[1], None))),
+                jobs,
+            ))
+        names = [b for b, _ in built]
+        sources = [s for _, s in built]
+        _join_prewarm(counter.k, counter.codec)
+        pendings = counter.dispatch_packed_uniform(sources, min_count, workers)
+        if pendings is not None:
+            for name, tbl in zip(names, fetch_tables(pendings)):
+                tables[name].append(tbl)
+            for s in sources:
+                s.close()
+            for basename in group:
+                merged = merge_tables(tables[basename], counter.k)
+                if len(merged):
+                    print(f"Significant k-mers: {len(merged)}")
+                    tsv_list[basename] = write_counts_tsv(
+                        merged, basename,
+                        out_tsv_dir / f"{basename}_counts.tsv"
+                    )
+                else:
+                    print("No significant k-mers found")
+            return tsv_list
+        # some file exceeds the fixed shape: fall through to adaptive path
+        handles = {f: s for (_, f), (_, s) in zip(jobs, built)
+                   if hasattr(s, "fill_packed")}
 
     def finish(batch) -> None:
         names = [name for name, _ in batch]
@@ -509,6 +600,16 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
         if multi:
             # deterministic per-host file ownership (no task queue needed)
             inputs = host_shard(inputs)
+        if cfg.min_count > 1 and _resolve_mesh(cfg.mesh) is None:
+            # speculative background compiles of the two canonical uniform
+            # count programs (see _start_prewarm; single-device path only)
+            from mercat2_tpu.engine.codec import DNA_CODEC, PROTEIN_CODEC
+
+            exts = {_file_ext(Path(p)) for p in inputs}
+            if exts & set(FILE_EXT_NUCLEOTIDE + FILE_EXT_FASTQ):
+                _start_prewarm(cfg.kmer, DNA_CODEC, cfg.min_count)
+            if (exts & set(FILE_EXT_PROTEIN)) or cfg.prodigal or cfg.fgs:
+                _start_prewarm(cfg.kmer, PROTEIN_CODEC, cfg.min_count)
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = []
             for path in inputs:
@@ -633,25 +734,29 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
         if gc_content:
             fig_plots["Sample GC Summary"] = figs.gc_plot_sample(gc_content)
 
-        # -- ORF calling --
+        # -- ORF calling (file-parallel: the callers are subprocess- or
+        # numpy-bound, so a thread pool scales them like the reference's
+        # Ray fan-out, /root/reference/bin/mercat2.py:368-407) --
+        def orf_round(engine: str, outdir: Path, target: str) -> None:
+            from mercat2_tpu.orf import orf_call
+
+            items = list(samples["nucleotide"].items())
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                rets = pool.map(
+                    lambda bf: orf_call(bf[0], bf[1][0], outdir, engine=engine),
+                    items,
+                )
+                for ret in rets:
+                    if ret:
+                        samples[target][ret[0]] = [ret[1]]
+
         if cfg.prodigal and samples["nucleotide"]:
-            from mercat2_tpu.orf import orf_call
-
             print(f"\nRunning ORF caller on {len(samples['nucleotide'])} files")
-            prodpath = out / "pyrodigal"
-            for basename, files in samples["nucleotide"].items():
-                ret = orf_call(basename, files[0], prodpath, engine="prodigal")
-                if ret:
-                    samples["prodigal"][ret[0]] = [ret[1]]
+            orf_round("prodigal", out / "pyrodigal", "prodigal")
         if cfg.fgs and samples["nucleotide"]:
-            from mercat2_tpu.orf import orf_call
-
-            print(f"\nRunning FGS-style ORF caller on {len(samples['nucleotide'])} files")
-            fgspath = out / "fgs"
-            for basename, files in samples["nucleotide"].items():
-                ret = orf_call(basename, files[0], fgspath, engine="fgs")
-                if ret:
-                    samples["fgs"][ret[0]] = [ret[1]]
+            print(f"\nRunning FGS-style ORF caller on "
+                  f"{len(samples['nucleotide'])} files")
+            orf_round("fgs", out / "fgs", "fgs")
 
         # -- protein rounds --
         for sample_type in ("protein", "prodigal", "fgs"):

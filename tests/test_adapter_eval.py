@@ -102,8 +102,12 @@ def test_detectors_agree_on_adapter_rich_data(tmp_path, adapter_frac):
     ours = _detect_adapter(fq)
     oracle = _fastp_style_evaluator(fq)
     assert ours == TRUSEQ
-    assert oracle is not None and TRUSEQ.startswith(oracle[: len(TRUSEQ)]) \
-        or oracle in TRUSEQ or TRUSEQ[:10] in oracle
+    assert oracle is not None
+    assert (
+        TRUSEQ.startswith(oracle[: len(TRUSEQ)])
+        or oracle in TRUSEQ
+        or TRUSEQ[:10] in oracle
+    )
 
     # the shared trimBySequence rule applied with each detector's adapter:
     # measure per-read trim-position disagreement and bound it at zero

@@ -34,10 +34,15 @@ def test_human2bytes_grammar():
     assert human2bytes("0.1  byte") == 0
     assert human2bytes("1 k") == 1024
     assert human2bytes("42") == 42
+    assert human2bytes("1 Bi") == 1  # IEC byte unit, exp 0
     with pytest.raises(ValueError):
         human2bytes("12 foo")
     with pytest.raises(ValueError):
         human2bytes("foo")
+    with pytest.raises(ValueError):
+        human2bytes("1 m")  # case-sensitive like the reference
+    with pytest.raises(ValueError):
+        human2bytes("1 KILO")
 
 
 def test_chunk_delim_preserves_records(tmp_path):
