@@ -82,47 +82,31 @@ def _count_cold(files: list[Path], k: int) -> tuple[int, int, float]:
     import numpy as np
 
     t0 = time.perf_counter()
-    # gzip + parse in threads (the C++ parser releases the GIL); device
-    # launch groups dispatch AS SOON AS their files are parsed, so the
-    # tail files' host parse overlaps the head groups' h2d + compute.
-    # Per-group codecs are sound: the min-count filter is per file
-    # (ref lib/mercat2_kmers.py:73-76), so no cross-group key comparison
-    # ever happens and tables decode to byte strings independently.
+    # gzip + parse in threads (the C++ parser releases the GIL); the
+    # dispatcher then forms adaptive launch groups (few big groups on
+    # large workloads — per-launch h2d + latency is ~25 ms on the tunnel)
+    # and dispatches them back-to-back so later groups' host build
+    # overlaps earlier groups' device compute. One codec per run; the
+    # min-count filter stays per file (ref lib/mercat2_kmers.py:73-76).
     pool = ThreadPoolExecutor(max_workers=min(16, len(files)))
     futs = [pool.submit(open_fasta_native, f) for f in files]
-    pendings = []
     sources = []
-    group: list = []
-    group_syms = 0
-    probe = KmerCounter(k, codec_for_alphabet(
-        np.frombuffer(b"ACGT", np.uint8)))
-
-    def flush():
-        nonlocal group, group_syms
-        if not group:
-            return
-        alpha = np.zeros(0, np.uint8)
-        for s in group:
-            alpha = np.union1d(alpha, s.alphabet())
-        counter = KmerCounter(k, codec_for_alphabet(alpha.astype(np.uint8)))
-        if counter.packable():
-            pendings.extend(counter.dispatch_packed_segments(group, MIN_COUNT))
-        else:
-            streams = [counter.build_stream_native(s) for s in group]
-            pendings.extend(counter.dispatch_streams(
-                [st for st in streams if st is not None], MIN_COUNT))
-        group, group_syms = [], 0
-
+    alpha = np.zeros(0, np.uint8)
     for fut in futs:
         s = fut.result()
         assert s is not None, "build native/ first"
         sources.append(s)
-        n = s.packed_len(1)
-        if group and group_syms + n > probe._SEG_TARGET:
-            flush()
-        group.append(s)
-        group_syms += n
-    flush()
+        alpha = np.union1d(alpha, s.alphabet())
+    counter = KmerCounter(k, codec_for_alphabet(alpha.astype(np.uint8)))
+    if counter.packable():
+        pendings = counter.dispatch_packed_sources(
+            sources, MIN_COUNT, workers=4
+        )
+    else:
+        streams = [counter.build_stream_native(s) for s in sources]
+        pendings = counter.dispatch_streams(
+            [st for st in streams if st is not None], MIN_COUNT
+        )
     n_kmers = sum(len(t) for t in fetch_tables(pendings))
     dt = time.perf_counter() - t0
     total = sum(s.seq_len for s in sources)
@@ -223,7 +207,7 @@ def main() -> None:
 
     bases, n21, dt21 = _best_of(nt_files, 21)
     bases_per_s = bases / dt21
-    sbases, sn21, sdt = _best_of(sustained_files, 21, runs=2)
+    sbases, sn21, sdt = _best_of(sustained_files, 21, runs=3)
     s_per_s = sbases / sdt
     _, n5, dt5 = _best_of(nt_files, 5)
     residues, n3, dt3 = _best_of(aa_files, 3)

@@ -63,6 +63,11 @@ def parseargs(argv=None):
     parser.add_argument("-mesh", type=str, default="auto",
                         help="count-engine device mesh: 'auto' (all local "
                         "devices), 'off' (single device), or a device count")
+    parser.add_argument("-device-metrics", dest="device_metrics",
+                        action="store_true",
+                        help="compute protein metrics (pI/MW/hydropathy) and "
+                        "alpha diversity on the accelerator (float32; host "
+                        "float64 is the bit-parity default)")
     parser.add_argument("-pca", action="store_true",
                         help="create interactive PCA plot of the samples "
                         "(minimum of 4 fasta files required)")
@@ -103,6 +108,7 @@ def main(argv=None):
         category_file=args.category_file,
         debug=args.debug,
         mesh=args.mesh,
+        device_metrics=args.device_metrics,
     )
     run_pipeline(cfg)
     return 0

@@ -292,10 +292,32 @@ def fetch_tables(pendings: list) -> list[KmerTable]:
     Per-pending ``table()`` dispatches one prefix-slice program and one
     transfer each — on tunneled backends each round trip costs ~20 ms. This
     groups all plain sorted pendings into ONE slice launch + ONE batched
-    device_get; other pending kinds fall back to their own ``table()``.
+    device_get, and all segment-group pendings (_PendingSegments behind
+    _MultiView) into ONE device_get of every group's n_outs + speculative
+    prefixes; other pending kinds fall back to their own ``table()``.
     """
     for p in pendings:
         p.prefetch()
+
+    seg_groups: list[_PendingSegments] = []
+    seen: set[int] = set()
+    for p in pendings:
+        m = getattr(p, "_multi", None)
+        if (isinstance(m, _PendingSegments) and m._tables is None
+                and id(m) not in seen):
+            seen.add(id(m))
+            seg_groups.append(m)
+    if len(seg_groups) > 1:
+        arrs: list = []
+        spans: list[tuple[int, int]] = []
+        for m in seg_groups:
+            a = m._fetch_arrays()
+            spans.append((len(arrs), len(arrs) + len(a)))
+            arrs.extend(a)
+        fetched = jax.device_get(tuple(arrs))
+        for m, (lo, hi) in zip(seg_groups, spans):
+            m._fetch_all(fetched[lo:hi])
+
     plain = [
         p for p in pendings
         if isinstance(p, _PendingSorted) and p._resolve_n() > 0
@@ -446,11 +468,16 @@ class _PendingSegments:
         for a in self._spec:
             _async_to_host(a)
 
-    def _fetch_all(self) -> None:
+    def _fetch_arrays(self) -> tuple:
+        """Device arrays one host roundtrip resolves (see fetch_tables)."""
+        return tuple(self._n_outs) + tuple(self._spec)
+
+    def _fetch_all(self, fetched=None) -> None:
         from mercat2_tpu.ops.finalize import count_kmers_packed_segments
 
         c = self._c
-        fetched = jax.device_get(tuple(self._n_outs) + tuple(self._spec))
+        if fetched is None:
+            fetched = jax.device_get(self._fetch_arrays())
         n_files = len(self._caps)
         n_outs = [int(v) for v in fetched[:n_files]]
         spec = fetched[n_files:]
@@ -892,11 +919,12 @@ class KmerCounter:
         """
         return self.codec.bits <= 6
 
-    #: target combined symbols per packed launch group. Groups this size
-    #: keep XLA's sort below its superlinear range while letting the next
-    #: group's h2d overlap this group's device time (h2d and compute overlap
-    #: on the tunneled backend; transfers do not overlap each other).
-    _PACK_TARGET = 9 << 20
+    #: target combined symbols per packed launch group. Segments sort
+    #: per-file inside one program (no superlinear penalty from bigger
+    #: groups), so group size trades h2d pipelining against the ~20-25 ms
+    #: of fixed per-launch overhead (launch latency + per-group sync) —
+    #: at 9M symbols that overhead was ~half the sustained wall.
+    _PACK_TARGET = 18 << 20
 
     def source_for(self, path, nf=None):
         """Packed-transport source for one file: native handle or numpy."""
@@ -1065,8 +1093,10 @@ class KmerCounter:
 
     #: speculative rows fetched per file before n_out is known (one host
     #: roundtrip covers n_out AND the table when n_out <= this; misses
-    #: trigger a second fetch for the affected files only)
-    _SPEC_ROWS = 8192
+    #: trigger a second fetch for the affected files only). 1024 measured
+    #: indistinguishable from 8192 for hit rate on genomic min-count
+    #: tables while cutting the per-group d2h bytes 8x (NOTES_r3/r4).
+    _SPEC_ROWS = 1024
 
     #: use the MXU one-hot histogram for keyspaces up to MXU_MAX_BINS
     #: (ops.mxu_hist). Measured on the tunneled v5e (5-genome set, cold
@@ -1117,11 +1147,32 @@ class KmerCounter:
             jnp.asarray(group.gap_begin),
             jnp.asarray(group.gap_end),
         )
-        flat = count_kmers_packed_segments(
-            *dev, jnp.int32(min_count),
-            k=self.k, bits=self.codec.bits, alphabet_size=self.codec.size,
-            seg_words=seg_words, caps=caps,
-        )
+        # Pallas hot path on real TPU backends: fused key build + fused
+        # finalize around the XLA sort (ops.pallas_finalize). Emission
+        # overflows and cap overflows report n_out > cap, and the retry in
+        # _PendingSegments goes through the XLA variant — identical output.
+        use_pallas = False
+        if min_count > 1 and self.codec.bits in (1, 2, 4) and self.k >= 2:
+            from mercat2_tpu.ops.pallas_finalize import pallas_ok
+
+            use_pallas = pallas_ok() and all(c <= (1 << 16) for c in caps)
+        if use_pallas:
+            from mercat2_tpu.ops.finalize import (
+                count_kmers_packed_segments_pallas,
+            )
+
+            flat = count_kmers_packed_segments_pallas(
+                *dev, k=self.k, bits=self.codec.bits,
+                alphabet_size=self.codec.size, seg_words=seg_words,
+                caps=caps, min_count=int(min_count),
+            )
+        else:
+            flat = count_kmers_packed_segments(
+                *dev, jnp.int32(min_count),
+                k=self.k, bits=self.codec.bits,
+                alphabet_size=self.codec.size,
+                seg_words=seg_words, caps=caps,
+            )
         w_per = len(flat) // len(sources) - 2  # words..., counts, n_out
         multi = _PendingSegments(
             self, dev, min_count, seg_words, caps, flat, w_per
@@ -1372,11 +1423,12 @@ class KmerCounter:
 
     #: max combined symbols per segmented launch. NOT a sort-size bound
     #: (segments sort separately inside the program) — this paces h2d /
-    #: compute overlap: group i+1's transfer rides group i's compute.
-    #: Measured on the tunneled v5e: one 19.4M-symbol launch = 0.41 s cold
-    #: vs 0.33 s with ~9M groups (h2d is the serial prefix of a single
-    #: launch).
-    _SEG_TARGET = 9 << 20
+    #: compute overlap against fixed per-launch overhead (~20-25 ms on the
+    #: tunnel). 9M groups measured 24 ms/group of overhead = ~half the
+    #: sustained wall; 18M groups halve the group count. (A single
+    #: 19.4M-symbol launch is still avoided for small cold sets: its h2d
+    #: is the serial prefix — 0.41 s vs 0.33 s measured in round 2.)
+    _SEG_TARGET = 18 << 20
 
     def dispatch_packed_sources(
         self, sources: list, min_count: int = 1, workers: int | None = None
@@ -1389,11 +1441,15 @@ class KmerCounter:
         equivalent of the reference's per-chunk Ray task overlap
         (/root/reference/bin/mercat2.py:118-127)."""
         lens = [s.packed_len(_REC_GAP) for s in sources]
+        # fixed ~18M-symbol groups: bigger (32M) groups measured SLOWER on
+        # the sustained config (1.51 s vs 1.11 s — less pipelining and a
+        # longer serial h2d prefix outweigh the saved per-launch latency)
+        target = self._SEG_TARGET
         groups: list[list[int]] = []
         cur: list[int] = []
         cur_sym = 0
         for i, length in enumerate(lens):
-            if cur and cur_sym + length > self._SEG_TARGET:
+            if cur and cur_sym + length > target:
                 groups.append(cur)
                 cur, cur_sym = [], 0
             cur.append(i)

@@ -204,22 +204,70 @@ def _adapter_trim_pos(seq: bytes, adapter: bytes) -> int:
     return rlen
 
 
+def _adapter_trim_pos_batch(fq: FastqArrays, adapter: bytes) -> np.ndarray:
+    """int64[n_reads] trim cut per read — vectorized trimBySequence.
+
+    Bit-identical to :func:`_adapter_trim_pos` applied per read (tested),
+    but runs as ``len(adapter)`` vector passes over the flat base array
+    instead of a per-read Python loop (the loop was O(bases * alen) in the
+    interpreter — minutes on real FASTQ files).
+    """
+    n = fq.n_reads
+    if n == 0:
+        return np.zeros(0, np.int64)
+    total = int(fq.offsets[-1])
+    alen = len(adapter)
+    a = np.frombuffer(adapter, np.uint8)
+    read_of = np.repeat(np.arange(n, dtype=np.int64), fq.lengths())
+    end_of = fq.offsets[1:][read_of]          # read end per global position
+    avail = end_of - np.arange(total)         # rlen - pos
+    cmplen = np.minimum(avail, alen)
+
+    seq_pad = np.concatenate([fq.seq, np.zeros(alen, np.uint8)])
+    mism = np.zeros(total, np.int32)
+    idx = np.arange(total)
+    for i in range(alen):
+        in_cmp = i < cmplen
+        mism += (in_cmp & (seq_pad[idx + i] != a[i])).astype(np.int32)
+    accept = (avail >= 4) & (mism <= cmplen // 8)
+
+    big = np.int64(1 << 62)
+    score = np.where(accept, idx, big)
+    first = np.minimum.reduceat(score, fq.offsets[:-1])
+    lens = fq.lengths()
+    first = np.where(lens > 0, first, big)    # reduceat quirk on empty reads
+    return np.minimum(first - fq.offsets[:-1], lens)
+
+
 def _detect_adapter(fq: FastqArrays, min_hit_frac: float = 0.01) -> bytes | None:
     """Probe the known Illumina adapters against read tails.
 
     A documented deviation from fastp's seed-consensus evaluator: an
     adapter is reported when >= ``min_hit_frac`` of reads contain its
-    12-base prefix. Identical outcome on adapter-free data (no adapter,
-    no trimming)."""
+    12-base prefix (vectorized substring scan over the flat base array).
+    Identical outcome on adapter-free data (no adapter, no trimming)."""
     n = fq.n_reads
     if n == 0:
         return None
     sample = min(n, 100_000)
+    sample_end = int(fq.offsets[sample])
+    seq = fq.seq[:sample_end]
+    read_of = np.repeat(np.arange(sample, dtype=np.int64),
+                        np.diff(fq.offsets[: sample + 1]))
     for adapter in _KNOWN_ADAPTERS:
-        probe = adapter[:12]
-        hits = sum(
-            1 for i in range(sample) if probe in fq.read_seq(i)
-        )
+        probe = np.frombuffer(adapter[:12], np.uint8)
+        m = len(probe)
+        if seq.shape[0] < m:
+            continue
+        match = np.ones(seq.shape[0] - m + 1, bool)
+        for t in range(m):
+            match &= seq[t : seq.shape[0] - m + 1 + t] == probe[t]
+        starts = np.flatnonzero(match)
+        # a hit must lie entirely within one read
+        starts = starts[
+            starts + m <= fq.offsets[read_of[starts] + 1]
+        ]
+        hits = np.unique(read_of[starts]).size
         if hits >= max(1, int(min_hit_frac * sample)):
             return adapter
     return None
@@ -248,21 +296,18 @@ def trim(
         adapter = _detect_adapter(fq)
     elif isinstance(adapter, str):
         adapter = adapter.encode()
-    if adapter:
-        # per-read adapter clip BEFORE the filters, like fastp
-        new_seq, new_qual, new_lens = [], [], np.empty(fq.n_reads, np.int64)
-        for i in range(fq.n_reads):
-            s = fq.read_seq(i)
-            cut = _adapter_trim_pos(s, adapter)
-            new_lens[i] = cut
-            lo = fq.offsets[i]
-            new_seq.append(fq.seq[lo : lo + cut])
-            new_qual.append(fq.qual[lo : lo + cut])
+    if adapter and fq.n_reads:
+        # per-read adapter clip BEFORE the filters, like fastp (vectorized)
+        cut = _adapter_trim_pos_batch(fq, adapter)
+        read_of = np.repeat(np.arange(fq.n_reads, dtype=np.int64),
+                            fq.lengths())
+        pos_in_read = np.arange(int(fq.offsets[-1])) - fq.offsets[read_of]
+        keep_base = pos_in_read < cut[read_of]
         fq = FastqArrays(
             fq.headers,
-            np.concatenate(new_seq) if new_seq else np.zeros(0, np.uint8),
-            np.concatenate(new_qual) if new_qual else np.zeros(0, np.uint8),
-            np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int64),
+            fq.seq[keep_base],
+            fq.qual[keep_base],
+            np.concatenate([[0], np.cumsum(cut)]).astype(np.int64),
         )
 
     lens = fq.lengths()

@@ -180,8 +180,13 @@ def alpha_metric(name: str, counts: np.ndarray):
         return "NA"
 
 
-def compute_alpha_diversity(basename: str, counts_tsv, out_file) -> Path:
-    """Read the count column of a per-sample TSV and write the metric table."""
+def compute_alpha_diversity(basename: str, counts_tsv, out_file,
+                            device: bool = False) -> Path:
+    """Read the count column of a per-sample TSV and write the metric table.
+
+    ``device=True`` evaluates all nine metrics in one accelerator call
+    (mercat2_tpu.metrics.device, float32); the default host path is the
+    float64 bit-parity implementation."""
     counts = []
     with open(counts_tsv) as reader:
         reader.readline()
@@ -189,7 +194,12 @@ def compute_alpha_diversity(basename: str, counts_tsv, out_file) -> Path:
             counts.append(int(line.split()[1]))
     counts = np.asarray(counts, dtype=np.int64)
 
-    results = {name: alpha_metric(name, counts) for name in ALPHA_METRICS}
+    if device:
+        from mercat2_tpu.metrics.device import alpha_metrics_device
+
+        results = alpha_metrics_device(counts)
+    else:
+        results = {name: alpha_metric(name, counts) for name in ALPHA_METRICS}
 
     out_file = Path(out_file)
     out_file.parent.mkdir(parents=True, exist_ok=True)

@@ -13,8 +13,10 @@ The pI solver reproduces the reference's exact bisection schedule
 (pH0=6.51, bounds [0,14], epsilon 0.01, terminal check after the update,
 /root/reference/lib/mercat2_metrics.py:57-101) but runs it as a batched
 float64 numpy iteration over every protein in a file at once — the same
-arithmetic per lane, so results match to the bit. A jax variant of the
-batched solver is exposed for on-device computation at scale.
+arithmetic per lane, so results match to the bit. The jax variant of the
+batched solver lives in :mod:`mercat2_tpu.metrics.device`
+(``protein_metrics_table(..., device=True)`` / the ``-device-metrics``
+pipeline flag) for on-device computation at scale.
 
 MW/hydropathy use ``np.add.reduceat`` over a per-residue lookup, which sums
 left-to-right exactly like the reference's character loop (unknown residues
@@ -214,17 +216,26 @@ def _parse_protein_fasta(path):
     return full_names, names, seqs
 
 
-def protein_metrics_table(path) -> dict:
+def protein_metrics_table(path, device: bool = False) -> dict:
     """Per-protein metric arrays for one faa file (pI/MW/Hydro rounded to 2dp
-    with Python round(), matching the reference's output values)."""
+    with Python round(), matching the reference's output values).
+
+    ``device=True`` batches the three metrics through the accelerator
+    (mercat2_tpu.metrics.device, float32 — last rounded digit may differ
+    from this host float64 path)."""
     full_names, names, seqs = _parse_protein_fasta(path)
     flat = np.frombuffer("".join(seqs).encode("latin-1"), dtype=np.uint8)
     lens = np.asarray([len(s) for s in seqs], dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(lens)])
 
-    pi = isoelectric_point_batch(flat, offsets)
-    mw = molecular_weight_batch(flat, offsets)
-    hyd = hydropathy_batch(flat, offsets)
+    if device:
+        from mercat2_tpu.metrics.device import protein_metrics_device
+
+        pi, mw, hyd = protein_metrics_device(flat, offsets)
+    else:
+        pi = isoelectric_point_batch(flat, offsets)
+        mw = molecular_weight_batch(flat, offsets)
+        hyd = hydropathy_batch(flat, offsets)
     return dict(
         full_name=full_names,
         name=names,

@@ -325,6 +325,66 @@ def count_kmers_packed_segments(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "bits", "alphabet_size", "seg_words", "caps", "min_count",
+    ),
+)
+def count_kmers_packed_segments_pallas(
+    packed: jax.Array,
+    gap_begin: jax.Array,
+    gap_end: jax.Array,
+    *,
+    k: int,
+    bits: int,
+    alphabet_size: int,
+    seg_words: tuple,
+    caps: tuple,
+    min_count: int,
+):
+    """Pallas-kernel variant of :func:`count_kmers_packed_segments`.
+
+    Same contract and output layout, but the pre-sort key build and the
+    post-sort finalize run as the fused Pallas kernels
+    (ops.pallas_finalize) — one HBM pass each instead of the XLA op
+    chains, cutting the non-sort device time per 8.4M-window segment from
+    ~16 ms to a few ms on a v5e. ``min_count`` is static here (it is a
+    per-run constant; the engine routes min_count==1 elsewhere). Routed
+    only for bits in {1, 2, 4} on TPU backends; overflow retries use the
+    XLA variant (identical results).
+    """
+    from mercat2_tpu.ops.pallas_finalize import (
+        build_keys_pallas, finalize_sorted_pallas,
+    )
+
+    per = 32 // bits
+    out = []
+    for (w0, w1), cap in zip(seg_words, caps):
+        n_sym = (w1 - w0) * per
+        p = n_sym - k + 1
+        s0 = w0 * per
+        valid = packed_window_validity(
+            gap_begin - jnp.int32(s0), gap_end - jnp.int32(s0), k, p
+        )
+        keyed = build_keys_pallas(
+            jax.lax.slice_in_dim(packed, w0, w1),
+            valid.astype(jnp.uint8), k=k, bits=bits, p=p,
+        )
+        words = jax.lax.sort(tuple(keyed), num_keys=len(keyed))
+        n_valid = jnp.sum(valid, dtype=jnp.int32)
+        # the finalize kernel consumes ALL key words (the tie-break word
+        # keeps valid keys distinct from the all-ones invalid marker) but
+        # only the payload words are emitted downstream
+        _, tiebreak = key_words_for(k, bits)
+        w, c, n = finalize_sorted_pallas(
+            words, n_valid, min_count=min_count, cap=cap
+        )
+        out.extend(list(w[: len(words) - int(tiebreak)])
+                   + [c, jnp.asarray(n, jnp.int32)])
+    return tuple(out)
+
+
+@functools.partial(
     jax.jit, static_argnames=("k", "bits", "alphabet_size", "cap")
 )
 def count_kmers_device(

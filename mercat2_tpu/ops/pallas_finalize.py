@@ -47,11 +47,16 @@ __all__ = ["build_keys_pallas", "finalize_sorted_pallas", "pallas_ok"]
 _ONES32 = np.uint32(0xFFFFFFFF)
 _BIG = np.int32(2**31 - 1)
 
-#: rows per sequential finalize tile (as a (64, 128) block)
-_FIN_R = 64
+#: rows per sequential finalize tile (as a (128, 128) block; bigger
+#: blocks amortize per-grid-step overhead but the kernel's live temporaries
+#: scale with the block — 512 rows exceeded the 16 MB scoped-VMEM budget)
+_FIN_R = 128
 _FIN_TILE = _FIN_R * 128
-#: windows per key-build tile (as a (128, 128) block)
-_KEY_R = 128
+#: max survivors emitted per finalize tile (vector-store width); a tile
+#: with more flags overflow and the caller retries through the XLA path
+_EMIT = 128
+#: windows per key-build tile (as a (512, 128) block)
+_KEY_R = 512
 _KEY_TILE = _KEY_R * 128
 
 
@@ -106,6 +111,32 @@ def _flat_slice(x: jax.Array, off: int, rows: int) -> jax.Array:
     return _roll_flat(x, -off)[:rows]
 
 
+def _flat_scan(x: jax.Array, op, fill) -> jax.Array:
+    """Inclusive scan (op) over row-major flat order of an (R, 128) tile.
+
+    Log-shift formulation using only roll + select (safe Mosaic ops):
+    lane-level scan inside each row, then an exclusive row-prefix of the
+    per-row totals folded back in.
+    """
+    R, C = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    s = 1
+    while s < C:
+        rolled = pltpu.roll(x, s, axis=1)
+        x = op(x, jnp.where(col >= s, rolled, fill))
+        s *= 2
+    row_tot = x[:, C - 1 : C]  # (R, 1) inclusive row totals
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    # exclusive row prefix: shift down one row, then log-scan
+    pref = jnp.where(row >= 1, pltpu.roll(row_tot, 1, axis=0), fill)
+    s = 1
+    while s < R:
+        rolled = pltpu.roll(pref, s, axis=0)
+        pref = op(pref, jnp.where(row >= s, rolled, fill))
+        s *= 2
+    return op(x, jnp.broadcast_to(pref, (R, C)))
+
+
 # ---------------------------------------------------------------------------
 # finalize_sorted_pallas
 # ---------------------------------------------------------------------------
@@ -113,14 +144,20 @@ def _flat_slice(x: jax.Array, off: int, rows: int) -> jax.Array:
 
 def _finalize_kernel(nv_ref, *refs, n_words: int, min_count: int, cap: int,
                      p: int):
+    """One sequential tile: emits this tile's survivors (rank-compacted,
+    ascending) into its own blocked output row, plus a meta row with the
+    survivor count and an emission-overflow flag. Everything is static
+    stores — Mosaic supports neither scatter nor scalar/unaligned dynamic
+    VMEM stores; a tiny XLA post-pass stitches the ragged rows together.
+    """
     i = pl.program_id(0)
     n_valid = nv_ref[0]
     in_refs = refs[:n_words]
-    out_refs = refs[n_words : 2 * n_words]
-    counts_ref = refs[2 * n_words]
-    nout_ref = refs[2 * n_words + 1]
-    carry = refs[2 * n_words + 2]          # SMEM [cursor, open_run_start]
-    prevs = refs[2 * n_words + 3 :]        # n_words VMEM (R,128) prev tiles
+    out_refs = refs[n_words : 2 * n_words]  # blocked (1, _EMIT) rows
+    counts_ref = refs[2 * n_words]          # blocked (1, _EMIT) row
+    meta_ref = refs[2 * n_words + 1]        # blocked (1, _EMIT): lane0=emit
+    carry = refs[2 * n_words + 2]           # SMEM [open_run_start]
+    prevs = refs[2 * n_words + 3 :]         # n_words VMEM (R,128) prev tiles
 
     cols = [r[...] for r in in_refs]
     R, C = cols[0].shape
@@ -128,11 +165,10 @@ def _finalize_kernel(nv_ref, *refs, n_words: int, min_count: int, cap: int,
     @pl.when(i == 0)
     def _():
         carry[0] = 0
-        carry[1] = 0
         for w in range(n_words):
             # seed so row 0 compares equal to its "previous" row: the run
             # at position 0 opens without a boundary
-            prevs[w][...] = jnp.full((R, C), cols[w][0, 0], jnp.uint32)
+            prevs[w][...] = jnp.full((R, C), cols[w][0, 0], jnp.int32)
 
     base = i * (R * C)
     pos = base + (
@@ -162,37 +198,52 @@ def _finalize_kernel(nv_ref, *refs, n_words: int, min_count: int, cap: int,
     keep = boundary & long_enough & (pos >= min_count)
 
     emit_cnt = jnp.sum(keep.astype(jnp.int32))
-    cursor = carry[0]
-    open_start = carry[1]
+    open_start = carry[0]
     bpos = jnp.where(boundary, pos, np.int32(-1))
+    # output blocks are (8, _EMIT) — Mosaic requires 8-divisible block
+    # rows — with payload in row 0 only
+    orow = jax.lax.broadcasted_iota(jnp.int32, (8, _EMIT), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _EMIT), 1)
+    meta_ref[...] = jnp.where(
+        (orow == 0) & (lane == 0), emit_cnt,
+        jnp.where(
+            (orow == 0) & (lane == 1),
+            (emit_cnt > _EMIT).astype(jnp.int32), 0,
+        ),
+    )
 
-    def body(j, mask):
-        m = jnp.min(jnp.where(mask, pos, _BIG))
-        start = jnp.maximum(open_start, jnp.max(jnp.where(bpos < m, bpos,
-                                                          np.int32(-1))))
-        at_m = pos == m
-        idx = cursor + j
+    @pl.when(emit_cnt > 0)
+    def _():
+        # rank of each survivor in flat order (0-based), and each row's
+        # run start (the nearest boundary strictly before it, or the
+        # carried open-run start) via flat log-shift scans
+        rank = _flat_scan(keep.astype(jnp.int32), jnp.add, np.int32(0)) - 1
+        incl_max = _flat_scan(bpos, jnp.maximum, np.int32(-1))
+        flat0 = (pos - base) == 0
+        excl_max = jnp.where(
+            flat0, np.int32(-1), _roll_flat(incl_max, 1)
+        )
+        run_start = jnp.maximum(excl_max, open_start)
+        run_count = pos - run_start
 
-        @pl.when(idx < cap)
-        def _():
-            for w in range(n_words):
-                out_refs[w][idx] = jnp.max(
-                    jnp.where(at_m, prev1[w], np.uint32(0))
-                )
-            counts_ref[idx] = m - start
+        # masked-reduce extraction per emission lane: select-based vector
+        # construction, static full-row stores. Rare: most tiles have no
+        # survivors and skip this block entirely.
+        def compact(val2d):
+            vec = jnp.zeros((8, _EMIT), jnp.int32)
+            for e in range(_EMIT):
+                s = jnp.sum(jnp.where(keep & (rank == e), val2d,
+                                      np.int32(0)))
+                vec = jnp.where((orow == 0) & (lane == e), s, vec)
+            return vec
 
-        return mask & jnp.logical_not(at_m)
+        for w in range(n_words):
+            out_refs[w][...] = compact(prev1[w])
+        counts_ref[...] = compact(run_count)
 
-    jax.lax.fori_loop(0, emit_cnt, body, keep)
-
-    carry[0] = cursor + emit_cnt
-    carry[1] = jnp.maximum(open_start, jnp.max(bpos))
+    carry[0] = jnp.maximum(open_start, jnp.max(bpos))
     for w in range(n_words):
         prevs[w][...] = cols[w]
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        nout_ref[0] = carry[0]
 
 
 @functools.partial(
@@ -218,11 +269,12 @@ def finalize_sorted_pallas(words, n_valid, *, min_count: int, cap: int,
     # so the final run is always closed by an in-stream boundary
     n_tiles = (p + _FIN_TILE) // _FIN_TILE
     p_pad = n_tiles * _FIN_TILE
-    import numpy as np
-
+    # the kernel runs on int32 bitcasts (Mosaic lacks unsigned reductions);
+    # only equalities and position order are used, so signs never matter
     padded = [
         jnp.pad(
-            w, (0, p_pad - p), constant_values=np.uint32(0xFFFFFFFF)
+            jax.lax.bitcast_convert_type(w, jnp.int32),
+            (0, p_pad - p), constant_values=np.int32(-1)
         ).reshape(n_tiles * _FIN_R, 128)
         for w in words
     ]
@@ -240,28 +292,54 @@ def finalize_sorted_pallas(words, n_valid, *, min_count: int, cap: int,
                          memory_space=pltpu.VMEM)
             for _ in range(n_words)
         ],
-        out_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)
-             for _ in range(n_words + 1)]
-            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        ),
+        out_specs=[
+            pl.BlockSpec((8, _EMIT), lambda i, _nv: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_words + 2)
+        ],
         scratch_shapes=(
-            [pltpu.SMEM((2,), jnp.int32)]
-            + [pltpu.VMEM((_FIN_R, 128), jnp.uint32) for _ in range(n_words)]
+            [pltpu.SMEM((1,), jnp.int32)]
+            + [pltpu.VMEM((_FIN_R, 128), jnp.int32) for _ in range(n_words)]
         ),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            tuple(jax.ShapeDtypeStruct((cap,), jnp.uint32)
-                  for _ in range(n_words))
-            + (jax.ShapeDtypeStruct((cap,), jnp.int32),
-               jax.ShapeDtypeStruct((1,), jnp.int32))
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles * 8, _EMIT), jnp.int32)
+            for _ in range(n_words + 2)
         ),
         interpret=interpret,
     )(nv, *padded)
-    return tuple(out[:n_words]), out[n_words], out[n_words + 1][0]
+    # payload lives in row 0 of each tile's 8-row output block
+    out = tuple(o.reshape(n_tiles, 8, _EMIT)[:, 0, :] for o in out)
+
+    # XLA post-pass: stitch the per-tile rank-compacted rows (ragged, in
+    # order) into the dense leading-cap table. Tiny: n_tiles*_EMIT rows.
+    from mercat2_tpu.ops.finalize import _select_first_positions
+
+    meta = out[n_words + 1]
+    emits = meta[:, 0]
+    overflow = jnp.max(meta[:, 1])
+    n_out = jnp.sum(emits)
+    total = n_tiles * _EMIT
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, _EMIT), 1)
+    valid = (lane < emits[:, None]).reshape(total)
+    kept = _select_first_positions(valid, total, cap)
+    safe = jnp.minimum(kept, total - 1)
+    in_range = kept < total
+    out_words = tuple(
+        jax.lax.bitcast_convert_type(
+            jnp.where(in_range, out[w].reshape(total)[safe], 0), jnp.uint32
+        )
+        for w in range(n_words)
+    )
+    counts = jnp.where(in_range, out[n_words].reshape(total)[safe], 0)
+    # per-tile emission overflow lost rows: force n_out past cap so the
+    # caller retries through the XLA variant (exact either way)
+    n_out = jnp.where(overflow > 0,
+                      jnp.maximum(n_out, np.int32(cap + 1)), n_out)
+    return out_words, counts, n_out
 
 
 # ---------------------------------------------------------------------------
@@ -278,14 +356,18 @@ def _build_keys_kernel(wm_ref, wh_ref, valid_ref, *out_refs, k: int,
     # reproduces row-major flat symbol order
     def unpack(words2d):
         rows, wpl = words2d.shape
-        # element-wise repeat along lanes: [r, c] = words2d[r, c // per]
-        # (NOT pltpu.repeat, which tiles whole copies)
-        lanes = jnp.broadcast_to(
-            words2d[:, :, None], (rows, wpl, per)
-        ).reshape(rows, wpl * per)
-        col = jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 1)
+        # element-wise lane expand: lanes[r, c] = words2d[r, c // per].
+        # Mosaic cannot shape-cast a (rows, wpl, per) broadcast back to
+        # (rows, 128), so build it as wpl masked broadcasts of one column
+        # each (cheap VPU selects).
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        word_of = col // per
+        lanes = jnp.zeros((rows, 128), jnp.uint32)
+        for j in range(wpl):
+            lanes = jnp.where(word_of == j, words2d[:, j : j + 1], lanes)
         shift = (
-            np.uint32(32) - np.uint32(bits) * ((col % per) + 1).astype(jnp.uint32)
+            np.uint32(32)
+            - np.uint32(bits) * (col % per + 1).astype(jnp.uint32)
         )
         return (lanes >> shift) & mask_b
 
@@ -364,7 +446,9 @@ def build_keys_pallas(packed: jax.Array, valid_u8: jax.Array, *, k: int,
     n_tiles = -(-p // _KEY_TILE)
     p_pad = n_tiles * _KEY_TILE
     wpl = 128 // per                       # words per 128-symbol row
-    halo_rows = 2                          # symbol rows of lookahead
+    halo_rows = 8                          # symbol rows of lookahead
+    # (Mosaic requires sublane-divisible block rows; 8 rows = 1024 symbols
+    # comfortably covers the k-1 <= 128 lookahead)
     # words laid out (sym_rows, wpl); pad one extra halo block
     need_words = (p_pad // 128 + halo_rows) * wpl
     if packed.shape[0] < need_words:

@@ -70,6 +70,10 @@ class PipelineConfig:
     fgs: bool = False  # -fgs: second ORF annotation round (native finder)
     category_file: str | None = None
     debug: bool = False
+    #: compute protein metrics and alpha diversity on the accelerator
+    #: (float32, mercat2_tpu.metrics.device); the host float64 path is the
+    #: bit-parity default
+    device_metrics: bool = False
     #: device-mesh policy for the count engine: "auto" shards counting over
     #: all local devices when more than one is visible (single chip: the
     #: async single-device engine), "off" forces single-device, an integer
@@ -690,7 +694,8 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
                           else sample_type)
                 for basename, tsv in tsv_list.items():
                     outfile = div_dir / f"{prefix}-{basename}.tsv"
-                    compute_alpha_diversity(basename, tsv, outfile)
+                    compute_alpha_diversity(basename, tsv, outfile,
+                                            device=cfg.device_metrics)
                     diversity_outputs.setdefault(basename, []).append(outfile)
                 barrier(f"count-{type_string}")
                 if not coordinator:
@@ -726,7 +731,8 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
             prefix = "nucleotide" if sample_type == "nucleotide" else sample_type
             for basename, tsv in tsv_list.items():
                 outfile = div_dir / f"{prefix}-{basename}.tsv"
-                compute_alpha_diversity(basename, tsv, outfile)
+                compute_alpha_diversity(basename, tsv, outfile,
+                                            device=cfg.device_metrics)
                 diversity_outputs.setdefault(basename, []).append(outfile)
 
         # -- nucleotide round --
@@ -771,7 +777,9 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
                 if samples[sample_type]:
                     tsv_out = report_dir / f"metrics-{sample_type}.tsv"
                     htm_out = report_dir / f"metrics-{sample_type}.html"
-                    metric_figs = figs.plot_sample_metrics(samples[sample_type], tsv_out)
+                    metric_figs = figs.plot_sample_metrics(
+                        samples[sample_type], tsv_out,
+                        device=cfg.device_metrics)
                     write_html(htm_out, metric_figs, {})
 
             # -- merged per-sample diversity (ref bin/mercat2.py:479-499) --

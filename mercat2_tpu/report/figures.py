@@ -82,7 +82,8 @@ def gc_plot_sample(gc_content: dict) -> PlotlyFigure:
     )
 
 
-def plot_sample_metrics(protein_samples: dict, tsv_out) -> dict:
+def plot_sample_metrics(protein_samples: dict, tsv_out,
+                        device: bool = False) -> dict:
     """Per-protein length/pI/MW/hydropathy TSV + bar figures per sample.
 
     Equivalent of /root/reference/lib/mercat2_figures.py:140-202: re-reads
@@ -101,7 +102,7 @@ def plot_sample_metrics(protein_samples: dict, tsv_out) -> dict:
     figures: dict[str, PlotlyFigure] = {}
     for basename, files in protein_samples.items():
         for file in files:
-            tbl = protein_metrics_table(file)
+            tbl = protein_metrics_table(file, device=device)
             order = np.argsort(-tbl["length"], kind="stable")
             with open(tsv_out, "a") as w:
                 for i in order:

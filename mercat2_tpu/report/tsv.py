@@ -54,35 +54,94 @@ def write_counts_tsv(table: KmerTable, basename: str, out_file) -> Path | None:
     return out_file
 
 
-def _iter_rows(path):
-    """Yield (kmer, count_str) rows from a per-sample counts TSV."""
-    with open(path, "rb") as f:
-        f.readline()  # header
-        for line in f:
-            cols = line.rstrip(b"\n").split(b"\t")
-            if len(cols) >= 2:
-                yield cols[0], cols[1]
-
-
 def _read_header_cell(path) -> str:
     with open(path, "rb") as f:
         return f.readline().split(b"\t")[0].decode()
 
 
+def _read_columns(path):
+    """One counts TSV -> (keys S-array, values S-array), file order.
+
+    Values stay raw bytes (counts are ints, but the same merge serves the
+    diversity TSVs whose values are floats — byte-preserving fill keeps
+    both parities).
+    """
+    import numpy as np
+
+    with open(path, "rb") as f:
+        f.readline()
+        body = f.read()
+    rows = [ln.split(b"\t", 1) for ln in body.split(b"\n") if b"\t" in ln]
+    keys = np.array([r[0] for r in rows], dtype=bytes)
+    vals = np.array([r[1] for r in rows], dtype=bytes)
+    return keys, vals
+
+
+def _union_fill(tsv_list: dict):
+    """(names, union keys, value matrix S-bytes[U, n], all_inputs_sorted).
+
+    Vectorized union + fill: the previous per-row Python k-way merge held
+    per-sample dicts of every key (hundreds of MB on protein tables) and
+    dominated the combined-TSV stage.
+    """
+    import numpy as np
+
+    names = sorted(tsv_list)
+    cols = [_read_columns(tsv_list[n]) for n in names]
+    union = np.unique(np.concatenate([k for k, _ in cols]))
+    width = max((v.dtype.itemsize for _, v in cols), default=1)
+    mat = np.full((len(union), len(names)), b"0", dtype=f"S{max(width, 1)}")
+    for j, (keys, vals) in enumerate(cols):
+        mat[np.searchsorted(union, keys), j] = vals
+    is_sorted = all(bool(np.all(k[1:] > k[:-1])) for k, _ in cols)
+    return names, union, mat, is_sorted
+
+
 def merge_tsv(tsv_list: dict, out_file) -> Path:
-    """K-way merge of sorted per-sample TSVs into a combined matrix.
+    """K-way merge of per-sample TSVs into a combined matrix.
 
     ``tsv_list`` maps sample name -> counts TSV path. Samples are column-
     ordered by sorted name; missing k-mers are zero-filled. Matches the
-    reference's output (/root/reference/lib/mercat2_report.py:98-156).
-    """
-    names = sorted(tsv_list)
-    header_cell = _read_header_cell(tsv_list[names[0]])
-    iters = {n: _iter_rows(tsv_list[n]) for n in names}
-    current = {n: next(iters[n], None) for n in names}
+    reference's output (/root/reference/lib/mercat2_report.py:98-156),
+    modulo its merge bug on sparse tables (see module docstring).
 
+    Sorted inputs (count tables) take the vectorized union+fill path;
+    unsorted inputs (per-metric diversity TSVs, merged in file order by
+    the reference's heads-min loop) take the row-by-row merge.
+    """
+    names, union, mat, is_sorted = _union_fill(tsv_list)
+    header_cell = _read_header_cell(tsv_list[names[0]])
     out_file = Path(out_file)
     out_file.parent.mkdir(parents=True, exist_ok=True)
+    if not is_sorted:
+        return _merge_tsv_headsmin(tsv_list, out_file, names, header_cell)
+    with open(out_file, "wb") as w:
+        w.write(("\t".join([header_cell] + names) + "\n").encode())
+        parts = []
+        for i in range(len(union)):
+            parts.append(union[i] + b"\t" + b"\t".join(mat[i]) + b"\n")
+            if len(parts) >= 8192:
+                w.write(b"".join(parts))
+                parts = []
+        w.write(b"".join(parts))
+    return out_file
+
+
+def _merge_tsv_headsmin(tsv_list: dict, out_file: Path, names, header_cell):
+    """Reference-style heads-min k-way merge (emission order follows the
+    files when they agree; /root/reference/lib/mercat2_report.py:116-152
+    minus its candidate-set bug)."""
+
+    def rows(path):
+        with open(path, "rb") as f:
+            f.readline()
+            for line in f:
+                cols = line.rstrip(b"\n").split(b"\t")
+                if len(cols) >= 2:
+                    yield cols[0], cols[1]
+
+    iters = {n: rows(tsv_list[n]) for n in names}
+    current = {n: next(iters[n], None) for n in names}
     with open(out_file, "wb") as w:
         w.write(("\t".join([header_cell] + names) + "\n").encode())
         while True:
@@ -104,20 +163,11 @@ def merge_tsv(tsv_list: dict, out_file) -> Path:
 
 def merge_tsv_T(tsv_list: dict, out_file) -> Path:
     """Transposed combined matrix (samples x k-mers), deterministic columns."""
-    names = sorted(tsv_list)
-    kmers: set[bytes] = set()
-    per_sample: dict[str, dict[bytes, bytes]] = {}
-    for n in names:
-        d = dict(_iter_rows(tsv_list[n]))
-        per_sample[n] = d
-        kmers.update(d)
-    header = sorted(kmers)
+    names, union, mat, _ = _union_fill(tsv_list)
     out_file = Path(out_file)
     out_file.parent.mkdir(parents=True, exist_ok=True)
     with open(out_file, "wb") as w:
-        w.write(b"\t".join([b"sample"] + header) + b"\n")
-        for n in names:
-            d = per_sample[n]
-            row = [n.encode()] + [d.get(km, b"0") for km in header]
-            w.write(b"\t".join(row) + b"\n")
+        w.write(b"\t".join([b"sample"] + list(union)) + b"\n")
+        for j, n in enumerate(names):
+            w.write(n.encode() + b"\t" + b"\t".join(mat[:, j]) + b"\n")
     return out_file

@@ -139,3 +139,29 @@ def test_trim_report_documents_adapter(tmp_path):
     # adapter-bearing reads were actually clipped
     trimmed = read_fastq(tmp_path / "out" / "reads_trim.fastq")
     assert trimmed.lengths().mean() < read_fastq(f).lengths().mean()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_batch_trim_pos_matches_scalar(tmp_path, seed):
+    """Vectorized trimBySequence == per-read scalar rule, bit for bit."""
+    from mercat2_tpu.io.fastq import _adapter_trim_pos_batch
+
+    f = tmp_path / "reads.fastq"
+    _synthetic_fastq(f, 300, TRUSEQ, 0.5, seed=seed, err=0.05)
+    fq = read_fastq(f)
+    batch = _adapter_trim_pos_batch(fq, TRUSEQ)
+    for i in range(fq.n_reads):
+        assert batch[i] == _adapter_trim_pos(fq.read_seq(i), TRUSEQ), i
+
+
+def test_batch_trim_pos_short_and_empty_reads():
+    from mercat2_tpu.io.fastq import FastqArrays, _adapter_trim_pos_batch
+
+    seqs = [b"ACG", b"", b"AGATCGGAAGAG", b"TT"]
+    flat = np.frombuffer(b"".join(seqs), np.uint8)
+    offsets = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+    fq = FastqArrays([b"a", b"b", b"c", b"d"], flat,
+                     np.zeros_like(flat), offsets.astype(np.int64))
+    batch = _adapter_trim_pos_batch(fq, TRUSEQ)
+    for i, s in enumerate(seqs):
+        assert batch[i] == _adapter_trim_pos(s, TRUSEQ), (i, s)

@@ -49,10 +49,13 @@ def _sorted_columns(rng, p, n_words, n_valid, max_run):
 
 
 @pytest.mark.parametrize("p,n_valid,n_words,min_count,max_run", [
-    (1000, 900, 2, 3, 7),
-    (1000, 1000, 1, 1, 4),       # no invalid tail, min_count 1
-    (20000, 17000, 3, 10, 30),   # multiple tiles
-    (_FIN_TILE + 17, _FIN_TILE + 17, 2, 2, 5),  # run crossing tile edge
+    # run lengths keep survivors under the kernel's 128-per-tile emission
+    # budget (denser tables trip its overflow sentinel -> XLA retry, which
+    # test_finalize_overflow_reports_n_out pins separately)
+    (1000, 900, 2, 3, 40),
+    (1000, 1000, 1, 1, 30),      # no invalid tail, min_count 1
+    (20000, 17000, 3, 10, 400),  # multiple tiles
+    (_FIN_TILE + 17, _FIN_TILE + 17, 2, 2, 1200),  # run crossing tile edge
     (5000, 0, 2, 2, 4),          # empty
 ])
 def test_finalize_parity(p, n_valid, n_words, min_count, max_run):
@@ -92,9 +95,22 @@ def test_finalize_overflow_reports_n_out():
     got_w, got_c, got_n = finalize_sorted_pallas(
         (jnp.asarray(col),), p, min_count=2, cap=64, interpret=True
     )
-    assert int(got_n) == 2048  # > cap: caller retries
+    # 2048 survivors also exceed the per-tile emission budget; the kernel
+    # must report n_out > cap either way so the caller retries via XLA
+    assert int(got_n) >= 2048
     assert np.array_equal(np.asarray(got_w[0])[:64], np.arange(64))
     assert np.all(np.asarray(got_c)[:64] == 2)
+
+
+def test_finalize_per_tile_emission_overflow_sentinel():
+    """>128 survivors in ONE tile but n_out < cap: the sentinel must still
+    force n_out > cap (rows beyond the tile budget were dropped)."""
+    p = 4096
+    col = np.arange(p, dtype=np.uint32) // 8  # 512 runs of length 8
+    _, _, got_n = finalize_sorted_pallas(
+        (jnp.asarray(col),), p, min_count=2, cap=4096, interpret=True
+    )
+    assert int(got_n) > 4096  # sentinel: true 512 < cap, but rows were lost
 
 
 @pytest.mark.parametrize("k,bits,n", [
