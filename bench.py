@@ -207,7 +207,11 @@ def main() -> None:
 
     bases, n21, dt21 = _best_of(nt_files, 21)
     bases_per_s = bases / dt21
-    sbases, sn21, sdt = _best_of(sustained_files, 21, runs=3)
+    # sustained runs EARLY (right after its own first-run compiles) and
+    # best-of-5: host-side wall on the 2-core tunnel host degrades once
+    # the process accumulates compile arenas, and run-to-run variance on
+    # the tunnel is +-25% (NOTES_r4)
+    sbases, sn21, sdt = _best_of(sustained_files, 21, runs=5)
     s_per_s = sbases / sdt
     _, n5, dt5 = _best_of(nt_files, 5)
     residues, n3, dt3 = _best_of(aa_files, 3)

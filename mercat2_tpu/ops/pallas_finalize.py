@@ -20,9 +20,11 @@ speed-of-light and a Pallas rewrite is the wrong complexity trade):
       ``key[j-1] == key[j-min_count]`` — over SORTED keys, equal endpoints
       imply the whole span is equal, so no running scan is needed;
     * survivors are rare (min-count filters kill almost everything), so
-      emission is a short dynamic loop: each survivor is located with a
-      masked min-reduce and written with scalar stores at a cursor carried
-      in SMEM across the sequential grid (TPU grids execute in order).
+      most tiles skip emission entirely; a surviving tile rank-compacts
+      its survivors (flat log-shift scans + masked-reduce selects) into
+      its own blocked output row, and a tiny XLA post-pass stitches the
+      ragged rows into the dense table (Mosaic supports neither scatter
+      nor scalar/unaligned dynamic VMEM stores).
 
 Both kernels are bit-exact vs their XLA counterparts; tests run them in
 interpreter mode on CPU, and the engine routes to them only on real TPU
