@@ -1215,10 +1215,12 @@ class KmerCounter:
     #: pipeline run — chosen for backends where every distinct compiled
     #: program costs tens of seconds (server-side XLA compiles over a TPU
     #: tunnel, where persistent-cache deserialization is unsupported) and a
-    #: few ms of extra sort padding per launch is irrelevant. 2^24 symbols
-    #: fits any default pipeline chunk (<= 100 MB inputs are pre-chunked,
-    #: /root/reference/bin/mercat2.py:312-328 semantics).
-    _UNIFORM_SYMS = 1 << 24
+    #: few ms of extra sort padding per launch is irrelevant. 12M symbols
+    #: fits any chunk up to ~11.5 MB (the reference benchmark chunks at
+    #: -s 10; larger chunks fall back to the adaptive dispatchers) while
+    #: compiling ~25% faster than a 2^24 shape — compile time and compile
+    #: ARENA (the cold pipeline's RSS peak) both scale with sort rows.
+    _UNIFORM_SYMS = 12 << 20
     _UNIFORM_FILES = 32
     _UNIFORM_GAPS = 1 << 17
     _UNIFORM_CAP = 1 << 19
