@@ -1267,7 +1267,7 @@ class KmerCounter:
         )
 
     #: files (= dense histogram segments) per launch of the dense uniform
-    #: program; each occupies its own fixed 2^24-symbol slot
+    #: program; each occupies its own fixed _UNIFORM_SYMS-symbol slot
     _UNIFORM_DENSE_SLOTS = 2
 
     def _dispatch_uniform_dense(
@@ -1275,11 +1275,12 @@ class KmerCounter:
     ) -> list[PendingCount] | None:
         """Fixed-shape MXU-histogram launches (small keyspaces).
 
-        One file per fixed 2^24-symbol slot, _UNIFORM_DENSE_SLOTS slots per
-        launch, every launch the SAME compiled program — the sort-free
-        sibling of :meth:`dispatch_packed_uniform` (a dense program
-        compiles several times faster than one containing a 2^24-row sort,
-        which matters on backends where the compile happens per process).
+        One file per fixed _UNIFORM_SYMS-symbol slot, _UNIFORM_DENSE_SLOTS
+        slots per launch, every launch the SAME compiled program — the
+        sort-free sibling of :meth:`dispatch_packed_uniform` (a dense
+        program compiles several times faster than one containing a
+        _UNIFORM_SYMS-row sort, which matters on backends where the
+        compile happens per process).
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1350,12 +1351,31 @@ class KmerCounter:
                 results[g0 + i] = _MultiView(multi, i)
         return results
 
+    def fits_uniform(self, source) -> bool:
+        """True when ``source`` fits the fixed uniform transport shape, i.e.
+        :meth:`dispatch_packed_uniform` cannot return None for it. Lets the
+        pipeline pre-check files one at a time (bounded inflight window)
+        instead of building every source up-front to learn the answer."""
+        from mercat2_tpu.ops.mxu_hist import MXU_MAX_BINS
+
+        per = 32 // self.codec.bits
+        length = source.packed_len(_REC_GAP)
+        b = self._gap_bound(source)
+        if (
+            self._DENSE_SMALL_K
+            and self._keyspace() <= MXU_MAX_BINS
+            and length <= self._UNIFORM_SYMS
+            and b <= self._UNIFORM_GAPS // self._UNIFORM_DENSE_SLOTS - 2
+        ):
+            return True  # dense sibling accepts it
+        return length + per <= self._UNIFORM_SYMS and b <= self._UNIFORM_GAPS - 2
+
     def dispatch_packed_uniform(
         self, sources: list, min_count: int = 1, workers: int | None = None
     ) -> list[PendingCount] | None:
         """Count all sources through ONE compiled program shape.
 
-        Files are greedy-packed into fixed 2^24-symbol fid-tagged transport
+        Files are greedy-packed into fixed _UNIFORM_SYMS-symbol fid-tagged transport
         buffers (<= 32 files, <= 2^17 gap ranges each) and every buffer runs
         the SAME compiled ``count_kmers_packed`` program — the count path
         for pipeline runs, where program-compile count dominates wall time
@@ -1379,7 +1399,7 @@ class KmerCounter:
         gapb = [self._gap_bound(s) for s in sources]
         # word-aligned usable capacity mirrors build_packed_group layout:
         # each file's segment is padded to whole words plus one gap symbol.
-        # Capped at 2^24 exactly (not the word-rounded n_sym) so the
+        # Capped at _UNIFORM_SYMS exactly (not the word-rounded n_sym) so the
         # content total always buckets to <= n_sym inside build_packed_group.
         usable = self._UNIFORM_SYMS
         if any(length + per > usable for length in lens):

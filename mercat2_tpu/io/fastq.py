@@ -216,6 +216,8 @@ def _adapter_trim_pos_batch(fq: FastqArrays, adapter: bytes) -> np.ndarray:
     if n == 0:
         return np.zeros(0, np.int64)
     total = int(fq.offsets[-1])
+    if total == 0:  # all reads empty: scalar rule returns rlen == 0
+        return np.zeros(n, np.int64)
     alen = len(adapter)
     a = np.frombuffer(adapter, np.uint8)
     read_of = np.repeat(np.arange(n, dtype=np.int64), fq.lengths())
@@ -233,7 +235,9 @@ def _adapter_trim_pos_batch(fq: FastqArrays, adapter: bytes) -> np.ndarray:
 
     big = np.int64(1 << 62)
     score = np.where(accept, idx, big)
-    first = np.minimum.reduceat(score, fq.offsets[:-1])
+    # clamp: a trailing empty read puts offsets[-2] == total, out of range
+    # for reduceat; the lens > 0 mask below discards the garbage value.
+    first = np.minimum.reduceat(score, np.minimum(fq.offsets[:-1], total - 1))
     lens = fq.lengths()
     first = np.where(lens > 0, first, big)    # reduceat quirk on empty reads
     return np.minimum(first - fq.offsets[:-1], lens)

@@ -394,22 +394,74 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
         # the persistent cache cannot be deserialized), program count — not
         # device ms — dominates pipeline wall time. The adaptive-shape
         # dispatchers below remain for min_count == 1 (unbounded tables)
-        # and non-packable codecs.
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            built = list(pool.map(
-                lambda bf: (bf[0], counter.source_for(
-                    bf[1], (handles or {}).pop(bf[1], None))),
-                jobs,
-            ))
-        names = [b for b, _ in built]
-        sources = [s for _, s in built]
+        # and non-packable codecs. Sources are built, dispatched, fetched
+        # and closed in bounded waves (not all files up-front), so open
+        # handles and host RSS stay O(wave), not O(round).
         _join_prewarm(counter.k, counter.codec)
-        pendings = counter.dispatch_packed_uniform(sources, min_count, workers)
-        if pendings is not None:
+        leftover: list[tuple[str, object]] = []   # (basename, file) no-fits
+        inflight_waves: deque = deque()           # (names, pendings)
+        wave: list[tuple] = []                    # (basename, file, source)
+        wave_syms = 0
+        wave_cap_syms = 2 * counter._UNIFORM_SYMS
+        wave_cap_files = 2 * counter._UNIFORM_FILES
+
+        def fetch_wave() -> None:
+            names, pendings = inflight_waves.popleft()
             for name, tbl in zip(names, fetch_tables(pendings)):
                 tables[name].append(tbl)
-            for s in sources:
+
+        def dispatch_wave() -> bool:
+            nonlocal wave, wave_syms
+            if not wave:
+                return True
+            pendings = counter.dispatch_packed_uniform(
+                [s for _, _, s in wave], min_count, workers
+            )
+            if pendings is None:  # rare mixed dense/sort edge: bail to adaptive
+                return False
+            for _, _, s in wave:
                 s.close()
+            inflight_waves.append(([n for n, _, _ in wave], pendings))
+            wave, wave_syms = [], 0
+            while len(inflight_waves) > 2:
+                fetch_wave()
+            return True
+
+        ok = True
+        handles = dict(handles or {})
+        src_of: dict = {}  # file -> built source, for the adaptive fallback
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            build_ahead = max(8, 2 * (workers or 4))
+            pend_jobs = deque(jobs)
+            building: deque = deque()
+            while (pend_jobs or building) and ok:
+                while pend_jobs and len(building) < build_ahead:
+                    bname, f = pend_jobs.popleft()
+                    building.append((bname, f, pool.submit(
+                        counter.source_for, f, handles.pop(f, None))))
+                bname, f, fut = building.popleft()
+                source = fut.result()
+                if not counter.fits_uniform(source):
+                    leftover.append((bname, f))
+                    src_of[f] = source
+                    continue
+                wave.append((bname, f, source))
+                wave_syms += source.packed_len(_REC_GAP)
+                if len(wave) >= wave_cap_files or wave_syms > wave_cap_syms:
+                    ok = dispatch_wave()
+            if ok:
+                ok = dispatch_wave()
+            if not ok:  # salvage: unfitting wave + unbuilt jobs -> adaptive
+                for bname, f, s in wave:
+                    leftover.append((bname, f))
+                    src_of[f] = s
+                for bname, f, fut in building:
+                    leftover.append((bname, f))
+                    src_of[f] = fut.result()
+                leftover.extend(pend_jobs)
+        while inflight_waves:
+            fetch_wave()
+        if not leftover:
             for basename in group:
                 merged = merge_tables(tables[basename], counter.k)
                 if len(merged):
@@ -421,9 +473,10 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
                 else:
                     print("No significant k-mers found")
             return tsv_list
-        # some file exceeds the fixed shape: fall through to adaptive path
-        handles = {f: s for (_, f), (_, s) in zip(jobs, built)
-                   if hasattr(s, "fill_packed")}
+        handles.update(
+            {f: s for f, s in src_of.items() if hasattr(s, "fill_packed")}
+        )
+        jobs = leftover  # adaptive path finishes the stragglers
 
     def finish(batch) -> None:
         names = [name for name, _ in batch]

@@ -78,7 +78,7 @@ def _read_columns(path):
 
 
 def _union_fill(tsv_list: dict):
-    """(names, union keys, value matrix S-bytes[U, n], all_inputs_sorted).
+    """(names, union keys, value matrix S-bytes[U, n]).
 
     Vectorized union + fill: the previous per-row Python k-way merge held
     per-sample dicts of every key (hundreds of MB on protein tables) and
@@ -93,8 +93,7 @@ def _union_fill(tsv_list: dict):
     mat = np.full((len(union), len(names)), b"0", dtype=f"S{max(width, 1)}")
     for j, (keys, vals) in enumerate(cols):
         mat[np.searchsorted(union, keys), j] = vals
-    is_sorted = all(bool(np.all(k[1:] > k[:-1])) for k, _ in cols)
-    return names, union, mat, is_sorted
+    return names, union, mat
 
 
 def merge_tsv(tsv_list: dict, out_file) -> Path:
@@ -107,14 +106,27 @@ def merge_tsv(tsv_list: dict, out_file) -> Path:
 
     Sorted inputs (count tables) take the vectorized union+fill path;
     unsorted inputs (per-metric diversity TSVs, merged in file order by
-    the reference's heads-min loop) take the row-by-row merge.
+    the reference's heads-min loop) take the row-by-row merge. Sortedness
+    is checked per file as it is read, so the union/matrix is never built
+    (and remaining files never loaded) on the unsorted path.
     """
-    names, union, mat, is_sorted = _union_fill(tsv_list)
+    import numpy as np
+
+    names = sorted(tsv_list)
     header_cell = _read_header_cell(tsv_list[names[0]])
     out_file = Path(out_file)
     out_file.parent.mkdir(parents=True, exist_ok=True)
-    if not is_sorted:
-        return _merge_tsv_headsmin(tsv_list, out_file, names, header_cell)
+    cols = []
+    for n in names:
+        keys, vals = _read_columns(tsv_list[n])
+        if not bool(np.all(keys[1:] > keys[:-1])):
+            return _merge_tsv_headsmin(tsv_list, out_file, names, header_cell)
+        cols.append((keys, vals))
+    union = np.unique(np.concatenate([k for k, _ in cols]))
+    width = max((v.dtype.itemsize for _, v in cols), default=1)
+    mat = np.full((len(union), len(names)), b"0", dtype=f"S{max(width, 1)}")
+    for j, (keys, vals) in enumerate(cols):
+        mat[np.searchsorted(union, keys), j] = vals
     with open(out_file, "wb") as w:
         w.write(("\t".join([header_cell] + names) + "\n").encode())
         parts = []
@@ -163,7 +175,7 @@ def _merge_tsv_headsmin(tsv_list: dict, out_file: Path, names, header_cell):
 
 def merge_tsv_T(tsv_list: dict, out_file) -> Path:
     """Transposed combined matrix (samples x k-mers), deterministic columns."""
-    names, union, mat, _ = _union_fill(tsv_list)
+    names, union, mat = _union_fill(tsv_list)
     out_file = Path(out_file)
     out_file.parent.mkdir(parents=True, exist_ok=True)
     with open(out_file, "wb") as w:

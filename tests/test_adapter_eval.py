@@ -157,11 +157,15 @@ def test_batch_trim_pos_matches_scalar(tmp_path, seed):
 def test_batch_trim_pos_short_and_empty_reads():
     from mercat2_tpu.io.fastq import FastqArrays, _adapter_trim_pos_batch
 
-    seqs = [b"ACG", b"", b"AGATCGGAAGAG", b"TT"]
-    flat = np.frombuffer(b"".join(seqs), np.uint8)
-    offsets = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
-    fq = FastqArrays([b"a", b"b", b"c", b"d"], flat,
-                     np.zeros_like(flat), offsets.astype(np.int64))
-    batch = _adapter_trim_pos_batch(fq, TRUSEQ)
-    for i, s in enumerate(seqs):
-        assert batch[i] == _adapter_trim_pos(s, TRUSEQ), (i, s)
+    for seqs in (
+        [b"ACG", b"", b"AGATCGGAAGAG", b"TT"],
+        [b"ACG", b"", b"AGATCGGAAGAG", b""],   # trailing empty read
+        [b"", b""],                            # all reads empty
+    ):
+        flat = np.frombuffer(b"".join(seqs), np.uint8)
+        offsets = np.concatenate([[0], np.cumsum([len(s) for s in seqs])])
+        fq = FastqArrays([b"r%d" % i for i in range(len(seqs))], flat,
+                         np.zeros_like(flat), offsets.astype(np.int64))
+        batch = _adapter_trim_pos_batch(fq, TRUSEQ)
+        for i, s in enumerate(seqs):
+            assert batch[i] == _adapter_trim_pos(s, TRUSEQ), (i, s)
