@@ -97,29 +97,43 @@ def _wrap70(s: str) -> str:
 
 
 def _native_prodigal_style(basename, fna_in, outpath):
+    """Prodigal-style gene calls from the native self-training gene model
+    (orf/genemodel.py): trained dicodon scoring + start/RBS scoring + DP
+    selection, with pyrodigal-style headers and partial/Edge annotation."""
+    from mercat2_tpu.orf.genemodel import call_genome
+    from mercat2_tpu.orf.native import _BASE_LUT
+
     faa = Path(outpath, f"{basename}.faa")
     fna = faa.with_suffix(".fna")
     gff = faa.with_suffix(".gff")
+    records = [
+        (header.split()[0] if header.split() else header, seq)
+        for header, seq in iter_fasta_records(fna_in)
+    ]
+    codes = [
+        _BASE_LUT[np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)]
+        for _, seq in records
+    ]
+    called = call_genome(codes)
     with open(faa, "w") as w_faa, open(fna, "w") as w_fna, open(gff, "w") as w_gff:
         print("##gff-version  3", file=w_gff)
-        for header, seq in iter_fasta_records(fna_in):
-            seq_id = header.split()[0] if header.split() else header
-            sb = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
-            for n, orf in enumerate(find_orfs(sb), 1):
-                strand = "+" if orf["strand"] > 0 else "-"
+        for (seq_id, seq), genes in zip(records, called):
+            for n, g in enumerate(genes, 1):
+                strand = "+" if g.strand > 0 else "-"
+                attrs = (
+                    f"ID={seq_id}_{n};partial={g.partial};"
+                    f"start_type={g.start_type};rbs_score={g.rbs_score:.1f}"
+                )
                 hdr = (
-                    f"{seq_id}_{n} # {orf['start']} # {orf['end']} # "
-                    f"{orf['strand']} # native_orf_finder"
+                    f"{seq_id}_{n} # {g.start} # {g.end} # {g.strand} # {attrs}"
                 )
                 print(f">{hdr}", file=w_faa)
-                print(_wrap70(orf["protein"].decode("latin-1")), file=w_faa)
-                lo, hi = orf["start"] - 1, orf["end"]
-                gene_nt = seq[lo:hi]
+                print(_wrap70(g.protein.decode("latin-1")), file=w_faa)
                 print(f">{hdr}", file=w_fna)
-                print(_wrap70(gene_nt), file=w_fna)
+                print(_wrap70(seq[g.start - 1 : g.end]), file=w_fna)
                 print(
-                    seq_id, "mercat2_tpu", "CDS", orf["start"], orf["end"],
-                    ".", strand, "0", f"ID={seq_id}_{n}",
+                    seq_id, "mercat2_tpu", "CDS", g.start, g.end,
+                    f"{g.score:.1f}", strand, "0", attrs,
                     sep="\t", file=w_gff,
                 )
     return basename, faa

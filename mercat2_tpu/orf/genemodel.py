@@ -1,0 +1,472 @@
+"""Self-training Prodigal-style gene model (native, vectorized numpy).
+
+Replaces the maximal-ORF fallback for ``-prod`` when pyrodigal is not
+installed. The reference reaches Prodigal's trained gene model through the
+pyrodigal C extension (/root/reference/lib/mercat2_fasta.py:202-244); this
+module re-implements the algorithmic core of Prodigal as described in its
+publication (Hyatt et al. 2010, BMC Bioinformatics 11:119) without using
+any Prodigal code or training data:
+
+1. **Self-training**: long open reading frames (>= ``TRAIN_MIN_NT``) are
+   near-certainly real genes in prokaryotes, so their in-frame dicodon
+   (hexamer) frequencies train a coding model against a background of all
+   six reading frames. Start-codon usage (ATG/GTG/TTG) and
+   ribosome-binding-site (Shine-Dalgarno) motif/spacer frequencies are
+   trained from the same set against genome-wide background.
+2. **Scoring**: every candidate gene (each start codon paired with its
+   downstream in-frame stop) gets ``coding + start`` log-likelihood:
+   coding = sum of dicodon log-odds over the gene (prefix-summed per
+   frame), start = start-type weight + RBS motif/spacer weight.
+3. **Selection**: per stop the best-scoring start is kept; a dynamic
+   program over each contig then selects the maximum-total-score set of
+   genes with bounded overlap — this is what suppresses the ~10x
+   over-calling of a plain maximal-ORF finder (shadow ORFs lose to the
+   real gene they overlap).
+
+Genes running off contig edges are emitted with Prodigal-style partial
+flags ('10' 5'-truncated, '01' 3'-truncated) and Edge start type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from mercat2_tpu.orf.native import (
+    _BASE_LUT,
+    _COMP_LUT,
+    _STARTS,
+    _STOPS,
+    _frame_codons,
+    translate_codons,
+)
+
+__all__ = ["GeneModel", "Gene", "train_model", "call_genes"]
+
+#: minimum total gene length in nt, stop codon included (Prodigal's MIN_GENE)
+MIN_GENE_NT = 90
+#: ORFs at least this long train the coding model (random ORFs this long are
+#: vanishingly rare: P ~ (61/64)^(L/3))
+TRAIN_MIN_NT = 480
+#: allowed overlap (nt) between selected genes in the dynamic program
+MAX_OVERLAP = 36
+#: minimum accepted total score (nats); tuned on the golden 5-genome set
+MIN_SCORE = 9.0
+
+_SENTINEL = 4096  # dicodon index for codon pairs touching an invalid base
+
+# Shine-Dalgarno motif fragments (consensus AGGAGG), scanned upstream of
+# candidate starts; scores are trained (see _train_rbs), these are priors.
+_SD_MOTIFS = (
+    (b"AGGAGG", 3.0),
+    (b"GGAGG", 2.4), (b"AGGAG", 2.4),
+    (b"AGGA", 1.6), (b"GGAG", 1.6), (b"GAGG", 1.6),
+    (b"AGG", 0.8), (b"GGA", 0.8), (b"GAG", 0.8),
+)
+#: spacer range: motif END this many nt before the start codon's first base
+_SD_SPACER = (5, 13)
+
+
+@dataclasses.dataclass
+class Gene:
+    """One called gene in forward-strand 1-based inclusive coordinates."""
+
+    start: int
+    end: int
+    strand: int            # +1 / -1
+    partial: str           # '00', '10' (5' truncated), '01' (3' truncated), '11'
+    start_type: str        # 'ATG' | 'GTG' | 'TTG' | 'Edge'
+    rbs_score: float
+    score: float
+    protein: bytes         # translated, leading M for real starts, '*' kept
+
+
+@dataclasses.dataclass
+class GeneModel:
+    logodds: np.ndarray       # float32[4097], dicodon log-odds, sentinel=0
+    w_start: dict             # codon idx -> start-type weight (nats)
+    rbs_weight: float         # multiplier on the SD motif priors
+    gc: float                 # training-set GC fraction (reported in headers)
+
+
+def _dicodons(c: np.ndarray, inv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(dicodon index int32[m-1], valid bool[m-1]) for a frame's codons."""
+    if c.shape[0] < 2:
+        return np.zeros(0, np.int32), np.zeros(0, bool)
+    d = c[:-1].astype(np.int32) * 64 + c[1:].astype(np.int32)
+    return d, ~(inv[:-1] | inv[1:])
+
+
+def _segments(c: np.ndarray, inv: np.ndarray):
+    """Stop-delimited segments of one frame.
+
+    Returns (seg_begin int64[S], seg_stop int64[S], has_stop bool[S]) where
+    codons ``seg_begin[i] .. seg_stop[i]-1`` are coding candidates and
+    ``seg_stop[i]`` is the stop codon index (== m for the stop-less tail).
+    """
+    is_stop = np.isin(c, _STOPS) & ~inv
+    stop_pos = np.flatnonzero(is_stop)
+    m = c.shape[0]
+    seg_begin = np.concatenate([[0], stop_pos + 1])
+    seg_stop = np.concatenate([stop_pos, [m]])
+    has_stop = np.concatenate([np.ones(stop_pos.shape[0], bool), [False]])
+    return seg_begin, seg_stop, has_stop
+
+
+def _first_start_per_segment(c, inv, seg_begin, seg_stop):
+    """int64[S]: codon index of the first start codon in each segment, -1 if none."""
+    is_start = np.isin(c, _STARTS) & ~inv
+    start_pos = np.flatnonzero(is_start)
+    first = np.full(seg_begin.shape[0], -1, np.int64)
+    if start_pos.size:
+        seg_of = np.searchsorted(seg_begin, start_pos, side="right") - 1
+        ok = start_pos < seg_stop[seg_of]
+        sp, so = start_pos[ok], seg_of[ok]
+        first[so[::-1]] = sp[::-1]  # reversed so the earliest start wins
+    return first
+
+
+def train_model(record_codes: list[np.ndarray]) -> GeneModel:
+    """Train dicodon/start/RBS statistics from a genome's contigs.
+
+    ``record_codes`` are 0..4 base codes (4 = non-ACGT) per contig, forward
+    strand. Training ORFs are first-start-to-stop regions >= TRAIN_MIN_NT.
+    """
+    bg = np.zeros(_SENTINEL, np.int64)
+    tr = np.zeros(_SENTINEL, np.int64)
+    start_counts = np.zeros(64, np.int64)
+    bg_start_counts = np.zeros(64, np.int64)
+    rbs_hits = 0
+    rbs_total = 0
+    bg_rbs_hits = 0
+    bg_rbs_total = 0
+    gc_n = at_n = 0
+
+    for codes in record_codes:
+        gc_n += int(np.sum((codes == 1) | (codes == 2)))
+        at_n += int(np.sum((codes == 0) | (codes == 3)))
+        for scodes in (codes, _COMP_LUT[codes[::-1]]):
+            sd_end = _sd_best_end(scodes)
+            for frame in range(3):
+                c, inv = _frame_codons(scodes, frame)
+                if c.shape[0] < 2:
+                    continue
+                d, dval = _dicodons(c, inv)
+                bg += np.bincount(d[dval], minlength=_SENTINEL)
+                seg_begin, seg_stop, has_stop = _segments(c, inv)
+                first = _first_start_per_segment(c, inv, seg_begin, seg_stop)
+                ok = (
+                    has_stop
+                    & (first >= 0)
+                    & ((seg_stop - first + 1) * 3 >= TRAIN_MIN_NT)
+                )
+                s_arr, e_arr = first[ok], seg_stop[ok]
+                if s_arr.size == 0:
+                    continue
+                # vectorized interval mask over dicodon positions s..e-2
+                mark = np.zeros(d.shape[0] + 1, np.int32)
+                np.add.at(mark, s_arr, 1)
+                np.add.at(mark, np.maximum(e_arr - 1, s_arr), -1)
+                in_gene = np.cumsum(mark[:-1]) > 0
+                tr += np.bincount(d[in_gene & dval], minlength=_SENTINEL)
+                # start-type and RBS usage of the training starts
+                start_counts += np.bincount(c[s_arr], minlength=64)
+                nt_pos = frame + 3 * s_arr
+                rbs_present = _rbs_from_ends(sd_end, nt_pos) > 0
+                rbs_hits += int(rbs_present.sum())
+                rbs_total += int(rbs_present.shape[0])
+                # background starts: every start codon in this frame
+                all_starts = np.flatnonzero(np.isin(c, _STARTS) & ~inv)
+                bg_start_counts += np.bincount(c[all_starts], minlength=64)
+                if all_starts.size:
+                    bpos = frame + 3 * all_starts
+                    bg_rbs_hits += int((_rbs_from_ends(sd_end, bpos) > 0).sum())
+                    bg_rbs_total += int(bpos.shape[0])
+
+    tr_tot = tr.sum()
+    bg_tot = bg.sum()
+    logodds = np.zeros(_SENTINEL + 1, np.float32)
+    logodds[:_SENTINEL] = np.log(
+        (tr + 1.0) / (tr_tot + _SENTINEL)
+    ) - np.log((bg + 1.0) / (bg_tot + _SENTINEL))
+
+    # start-type weights: log-odds of usage among training genes vs all starts
+    w_start = {}
+    tr_starts = start_counts.sum()
+    bg_starts = bg_start_counts.sum()
+    for idx in _STARTS:
+        p_tr = (start_counts[idx] + 1.0) / (tr_starts + 3.0)
+        p_bg = (bg_start_counts[idx] + 1.0) / (bg_starts + 3.0)
+        w_start[int(idx)] = float(np.log(p_tr / p_bg))
+
+    # RBS informativeness: if training starts have SD motifs no more often
+    # than random starts, the organism doesn't use SD (or the training set
+    # is tiny) — scale the motif priors down
+    p_tr = (rbs_hits + 1.0) / (rbs_total + 2.0)
+    p_bg = (bg_rbs_hits + 1.0) / (bg_rbs_total + 2.0)
+    rbs_weight = float(np.clip(np.log(p_tr / max(p_bg, 1e-9)) / np.log(2.0), 0.0, 1.5))
+
+    gc = gc_n / max(1, gc_n + at_n)
+    return GeneModel(logodds=logodds, w_start=w_start, rbs_weight=rbs_weight, gc=gc)
+
+
+def _sd_best_end(scodes: np.ndarray) -> np.ndarray:
+    """float32[n]: best SD-motif prior score of any motif ENDING at each
+    strand-local position (0 where none)."""
+    n = scodes.shape[0]
+    best = np.zeros(n, np.float32)
+    for motif, sc in _SD_MOTIFS:
+        mc = _BASE_LUT[np.frombuffer(motif, np.uint8)]
+        ln = mc.shape[0]
+        if n < ln:
+            continue
+        hit = np.ones(n - ln + 1, bool)
+        for t in range(ln):
+            hit &= scodes[t : n - ln + 1 + t] == mc[t]
+        ends = np.flatnonzero(hit) + ln - 1
+        np.maximum.at(best, ends, np.float32(sc))
+    return best
+
+
+def _rbs_from_ends(sd_end: np.ndarray, nt_pos: np.ndarray) -> np.ndarray:
+    """Best SD score for starts at ``nt_pos`` given the motif-end score
+    array: max over motif ends in [pos-spacer_hi, pos-spacer_lo]."""
+    lo, hi = _SD_SPACER
+    out = np.zeros(nt_pos.shape[0], np.float32)
+    for sp in range(lo, hi + 1):
+        q = nt_pos - sp
+        ok = q >= 0
+        out[ok] = np.maximum(out[ok], sd_end[q[ok]])
+    return out
+
+
+def _best_start_per_segment(model, c, inv, P, sd_end, frame):
+    """Score all candidate starts, return per-segment best.
+
+    Returns arrays over segments: (s codon idx, e stop codon idx (== m for
+    tail), has_stop, score, start codon idx or -1 for edge, rbs score).
+    Segments without an acceptable candidate have score -inf.
+    """
+    m = c.shape[0]
+    seg_begin, seg_stop, has_stop = _segments(c, inv)
+    n_seg = seg_begin.shape[0]
+
+    is_start = np.isin(c, _STARTS) & ~inv
+    start_pos = np.flatnonzero(is_start)
+    # edge candidate: segment 0 may begin at codon 0 (gene truncated 5')
+    cand_pos = np.concatenate([[0], start_pos]) if n_seg else start_pos
+    cand_edge = np.zeros(cand_pos.shape[0], bool)
+    if n_seg:
+        cand_edge[0] = True
+    seg_of = np.searchsorted(seg_begin, cand_pos, side="right") - 1
+    ok = cand_pos < seg_stop[seg_of]
+    cand_pos, cand_edge, seg_of = cand_pos[ok], cand_edge[ok], seg_of[ok]
+
+    e_of = seg_stop[seg_of]
+    # coding: dicodons s..e-2 -> P[e-1] - P[s] (P is exclusive prefix)
+    coding = P[np.maximum(e_of - 1, cand_pos)] - P[cand_pos]
+    w = np.zeros(cand_pos.shape[0], np.float32)
+    for idx, wt in model.w_start.items():
+        w[c[cand_pos] == idx] = wt
+    nt_pos = frame + 3 * cand_pos
+    rbs = _rbs_from_ends(sd_end, nt_pos) * model.rbs_weight
+    sscore = np.where(cand_edge, np.float32(0.0), w + rbs)
+    total = coding.astype(np.float32) + sscore
+
+    # gene length gate (stop codon included when present)
+    glen = np.where(has_stop[seg_of], (e_of - cand_pos + 1) * 3,
+                    (e_of - cand_pos) * 3)
+    total = np.where(glen >= MIN_GENE_NT, total, np.float32(-np.inf))
+
+    best_s = np.full(n_seg, -1, np.int64)
+    best_score = np.full(n_seg, -np.inf, np.float32)
+    best_edge = np.zeros(n_seg, bool)
+    best_rbs = np.zeros(n_seg, np.float32)
+    if cand_pos.size:
+        order = np.lexsort((-total, seg_of))
+        first = np.ones(order.shape[0], bool)
+        so = seg_of[order]
+        first[1:] = so[1:] != so[:-1]
+        pick = order[first]
+        best_s[seg_of[pick]] = cand_pos[pick]
+        best_score[seg_of[pick]] = total[pick]
+        best_edge[seg_of[pick]] = cand_edge[pick]
+        best_rbs[seg_of[pick]] = rbs[pick]
+    return seg_begin, seg_stop, has_stop, best_s, best_score, best_edge, best_rbs
+
+
+def _frame_candidates(model: GeneModel, scodes: np.ndarray, strand: int,
+                      n: int, sd_end: np.ndarray, frame: int) -> list[dict]:
+    c, inv = _frame_codons(scodes, frame)
+    if c.shape[0] < 2:
+        return []
+    d, dval = _dicodons(c, inv)
+    L = model.logodds[np.where(dval, d, _SENTINEL)]
+    P = np.concatenate([[np.float32(0.0)], np.cumsum(L, dtype=np.float64)])
+
+    (seg_begin, seg_stop, has_stop, best_s, best_score, best_edge,
+     best_rbs) = _best_start_per_segment(model, c, inv, P, sd_end, frame)
+
+    out = []
+    keep = np.flatnonzero(best_score >= MIN_SCORE)
+    for si in keep:
+        s = int(best_s[si])
+        e = int(seg_stop[si])
+        stop = bool(has_stop[si])
+        last_codon = e if stop else e - 1        # inclusive codon index
+        c0 = frame + 3 * s
+        c1 = frame + 3 * last_codon + 2
+        if strand == 1:
+            lo, hi = c0 + 1, c1 + 1
+        else:
+            lo, hi = n - c1, n - c0
+        edge = bool(best_edge[si])
+        # partial flags are in GENE orientation (pyrodigal convention):
+        # first digit = 5' truncated, second = 3' truncated
+        partial = ("1" if edge else "0") + ("0" if stop else "1")
+        aa_end = e - 1                            # last coding codon
+        prot = translate_codons(c[s : aa_end + 1], inv[s : aa_end + 1])
+        prot = prot.copy()
+        if not edge:
+            prot[0] = ord("M")                    # real starts translate to M
+        pb = prot.tobytes() + (b"*" if stop else b"")
+        stype = "Edge" if edge else {14: "ATG", 46: "GTG", 62: "TTG"}.get(
+            int(c[s]), "ATG")
+        out.append(dict(
+            lo=lo, hi=hi, strand=strand, partial=partial, start_type=stype,
+            rbs=float(best_rbs[si]), score=float(best_score[si]), protein=pb,
+        ))
+    return out
+
+
+def _select_dp(cands: list[dict]) -> list[dict]:
+    """Max-total-score subset with pairwise overlap <= MAX_OVERLAP."""
+    if not cands:
+        return []
+    lo = np.array([g["lo"] for g in cands], np.int64)
+    hi = np.array([g["hi"] for g in cands], np.int64)
+    sc = np.array([g["score"] for g in cands], np.float64)
+    order = np.argsort(hi, kind="stable")
+    lo, hi, sc = lo[order], hi[order], sc[order]
+    m = lo.shape[0]
+    dp = np.zeros(m, np.float64)
+    prefmax = np.zeros(m + 1, np.float64)       # prefmax[j] = max dp[:j]
+    argpref = np.full(m + 1, -1, np.int64)
+    choose_prev = np.full(m, -1, np.int64)
+    # last compatible index per gene: hi_i <= lo_j + MAX_OVERLAP - 1
+    compat = np.searchsorted(hi, lo + MAX_OVERLAP - 1, side="right")
+    for j in range(m):
+        base = prefmax[compat[j]]
+        dp[j] = sc[j] + base
+        choose_prev[j] = argpref[compat[j]]
+        if dp[j] > prefmax[j]:
+            prefmax[j + 1] = dp[j]
+            argpref[j + 1] = j
+        else:
+            prefmax[j + 1] = prefmax[j]
+            argpref[j + 1] = argpref[j]
+    sel = []
+    j = int(argpref[m])
+    while j >= 0:
+        sel.append(int(order[j]))
+        j = int(choose_prev[j])
+    sel.reverse()
+    return [cands[i] for i in sel]
+
+
+def call_genes(model: GeneModel, seq_bytes: np.ndarray) -> list[Gene]:
+    """Call genes on one contig (uint8 ASCII array), sorted by start."""
+    n = seq_bytes.shape[0]
+    fwd = _BASE_LUT[seq_bytes]
+    cands: list[dict] = []
+    for strand, scodes in ((1, fwd), (-1, _COMP_LUT[fwd[::-1]])):
+        sd_end = _sd_best_end(scodes)
+        for frame in range(3):
+            cands.extend(
+                _frame_candidates(model, scodes, strand, n, sd_end, frame)
+            )
+    sel = _select_dp(cands)
+    sel.sort(key=lambda g: (g["lo"], g["hi"]))
+    return [
+        Gene(
+            start=g["lo"], end=g["hi"], strand=g["strand"],
+            partial=g["partial"], start_type=g["start_type"],
+            rbs_score=g["rbs"], score=g["score"], protein=g["protein"],
+        )
+        for g in sel
+    ]
+
+
+def _gene_dicodons(codes: np.ndarray, g: Gene) -> np.ndarray:
+    """In-frame dicodon indices of one called gene (invalid ones dropped)."""
+    n = codes.shape[0]
+    sl = codes[g.start - 1 : g.end]
+    if g.strand < 0:
+        sl = _COMP_LUT[sl[::-1]]
+    m = sl.shape[0] // 3
+    c = sl[: 3 * m].reshape(m, 3).astype(np.int32)
+    inv = (c >= 4).any(axis=1)
+    idx = c[:, 0] * 16 + c[:, 1] * 4 + c[:, 2]
+    d, dval = _dicodons(idx.astype(np.int16), inv)
+    # exclude the dicodon that spans into the stop codon
+    if g.partial[1] == "0" and d.shape[0]:
+        d, dval = d[:-1], dval[:-1]
+    return d[dval]
+
+
+def retrain(model: GeneModel, record_codes: list[np.ndarray],
+            called: list[list[Gene]]) -> GeneModel:
+    """Second-pass training on the genes the first pass selected.
+
+    The long-ORF bootstrap set is contaminated by shadow ORFs (reverse-
+    strand mirrors of real genes, common in high-GC genomes); retraining
+    on the DP-selected gene set purifies the dicodon statistics — the
+    same refinement loop Prodigal's training stage runs.
+    """
+    bg = np.zeros(_SENTINEL, np.int64)
+    tr = np.zeros(_SENTINEL, np.int64)
+    start_counts = np.zeros(64, np.int64)
+    for codes, genes in zip(record_codes, called):
+        for scodes in (codes, _COMP_LUT[codes[::-1]]):
+            for frame in range(3):
+                c, inv = _frame_codons(scodes, frame)
+                d, dval = _dicodons(c, inv)
+                if d.shape[0]:
+                    bg += np.bincount(d[dval], minlength=_SENTINEL)
+        for g in genes:
+            tr += np.bincount(_gene_dicodons(codes, g), minlength=_SENTINEL)
+            if g.start_type in ("ATG", "GTG", "TTG"):
+                idx = {"ATG": 14, "GTG": 46, "TTG": 62}[g.start_type]
+                start_counts[idx] += 1
+    logodds = np.zeros(_SENTINEL + 1, np.float32)
+    logodds[:_SENTINEL] = np.log(
+        (tr + 1.0) / (tr.sum() + _SENTINEL)
+    ) - np.log((bg + 1.0) / (bg.sum() + _SENTINEL))
+    w_start = dict(model.w_start)
+    tot = start_counts.sum()
+    if tot >= 50:  # enough genes to re-estimate start-type usage
+        for idx in _STARTS:
+            p_tr = (start_counts[idx] + 1.0) / (tot + 3.0)
+            w_start[int(idx)] = float(np.log(p_tr / (1.0 / 3.0)))
+    return GeneModel(logodds=logodds, w_start=w_start,
+                     rbs_weight=model.rbs_weight, gc=model.gc)
+
+
+def call_genome(record_codes: list[np.ndarray],
+                iterations: int = 2) -> list[list[Gene]]:
+    """Train + call over a genome's contigs with refinement iterations."""
+    model = train_model(record_codes)
+    called = [call_genes(model, _decode_stub(c)) for c in record_codes]
+    for _ in range(iterations - 1):
+        model = retrain(model, record_codes, called)
+        called = [call_genes(model, _decode_stub(c)) for c in record_codes]
+    return called
+
+
+_DECODE = np.frombuffer(b"ACGTN", np.uint8)
+
+
+def _decode_stub(codes: np.ndarray) -> np.ndarray:
+    """codes -> ASCII bytes (call_genes re-encodes; cheap, keeps one API)."""
+    return _DECODE[codes]
