@@ -299,12 +299,12 @@ def fetch_tables(pendings: list) -> list[KmerTable]:
     for p in pendings:
         p.prefetch()
 
-    seg_groups: list[_PendingSegments] = []
+    seg_groups: list = []
     seen: set[int] = set()
     for p in pendings:
-        m = getattr(p, "_multi", None)
-        if (isinstance(m, _PendingSegments) and m._tables is None
-                and id(m) not in seen):
+        m = getattr(p, "_multi", p)
+        if (isinstance(m, (_PendingSegments, _PendingPacked))
+                and m._tables is None and id(m) not in seen):
             seen.add(id(m))
             seg_groups.append(m)
     if len(seg_groups) > 1:
@@ -381,7 +381,13 @@ class _EmptyPending(PendingCount):
 
 class _PendingPacked(PendingCount):
     """Result of one packed-transport launch (ops.finalize
-    count_kmers_packed); splits rows per file at fetch time."""
+    count_kmers_packed); splits rows per file at fetch time.
+
+    A speculative prefix slice (``KmerCounter._SPEC_ROWS_PACKED`` rows) is
+    dispatched at creation so ``fetch_tables`` can resolve a whole run of
+    launches with ONE batched device_get — the per-launch n_out + prefix
+    roundtrips otherwise cost ~40 ms each on tunneled backends.
+    """
 
     def __init__(self, counter, dev_args, min_count, cap, mode, shift,
                  n_files, n_sym, words, counts, n_out):
@@ -394,18 +400,32 @@ class _PendingPacked(PendingCount):
         self._n_files = n_files
         self._n_sym = n_sym
         self._out = (words, counts, n_out)
+        self._spec = _take_prefix(
+            tuple(words) + (counts,), m=KmerCounter._SPEC_ROWS_PACKED
+        )
         self._tables: list[KmerTable] | None = None
 
     def prefetch(self) -> None:
         _async_to_host(self._out[2])
+        for a in self._spec:
+            _async_to_host(a)
 
-    def _fetch_all(self) -> None:
+    def _fetch_arrays(self) -> tuple:
+        """Device arrays one host roundtrip resolves (see fetch_tables)."""
+        return (self._out[2],) + tuple(self._spec)
+
+    def _fetch_all(self, fetched=None) -> None:
         from mercat2_tpu.ops.finalize import count_kmers_packed
 
         c = self._c
-        words, counts, n_out = self._out
-        n_out = int(n_out)
+        if fetched is None:
+            fetched = jax.device_get(self._fetch_arrays())
+        n_out = int(fetched[0])
+        spec = fetched[1:]
+        words, counts, _ = self._out
+        retried = False
         while n_out > self._cap:  # overflow: retry with room (rare)
+            retried = True
             self._cap = _bucket_size(n_out)
             dwords, dgb, dge, dstarts = self._dev
             words, counts, n_out = count_kmers_packed(
@@ -418,8 +438,14 @@ class _PendingPacked(PendingCount):
         if n_out == 0:
             self._tables = [KmerTable.empty(c.k)] * self._n_files
             return
-        m = min(self._cap, max(512, 1 << (n_out - 1).bit_length()))
-        small = jax.device_get(_take_prefix(tuple(words) + (counts,), m=m))
+        spec_have = min(self._cap, KmerCounter._SPEC_ROWS_PACKED)
+        if n_out <= spec_have and not retried:
+            small = [a[:n_out] for a in spec]
+        else:  # speculative miss: fetch the true-size prefix
+            m = min(self._cap, max(512, 1 << (n_out - 1).bit_length()))
+            small = jax.device_get(
+                _take_prefix(tuple(words) + (counts,), m=m)
+            )
         self._tables = _split_fid_tables(
             c, small, n_out, self._mode, self._shift, self._n_files
         )
@@ -1097,6 +1123,10 @@ class KmerCounter:
     #: indistinguishable from 8192 for hit rate on genomic min-count
     #: tables while cutting the per-group d2h bytes 8x (NOTES_r3/r4).
     _SPEC_ROWS = 1024
+    #: speculative prefix rows for packed (multi-file fid-tagged) launches:
+    #: a launch aggregates up to 32 files' tables, so its n_out runs larger
+    #: than a per-file segment's
+    _SPEC_ROWS_PACKED = 8192
 
     #: use the MXU one-hot histogram for keyspaces up to MXU_MAX_BINS
     #: (ops.mxu_hist). Measured on the tunneled v5e (5-genome set, cold
@@ -1225,9 +1255,26 @@ class KmerCounter:
     _UNIFORM_GAPS = 1 << 17
     _UNIFORM_CAP = 1 << 19
 
-    def _uniform_n_sym(self) -> int:
+    #: size families for the uniform program, smallest first. XLA compile
+    #: time AND compile-arena RSS scale with the sort row count, so rounds
+    #: whose files all fit the small family (e.g. the ~1.5M-residue ORF
+    #: protein outputs of the reference pipeline) compile a ~3x cheaper
+    #: program; the large family remains the general bound (fits_uniform).
+    _UNIFORM_FAMILIES = (4 << 20, 8 << 20, 12 << 20)
+
+    def _uniform_family(self, lens: list[int]) -> int | None:
+        """Smallest family every packed length fits, or None when even the
+        cap (_UNIFORM_SYMS, the largest family) cannot hold some file."""
         per = 32 // self.codec.bits
-        return -(-self._UNIFORM_SYMS // per) * per
+        need = max(lens, default=0) + per
+        for f in self._UNIFORM_FAMILIES:
+            if f < self._UNIFORM_SYMS and need <= f:
+                return f
+        return self._UNIFORM_SYMS if need <= self._UNIFORM_SYMS else None
+
+    def _uniform_n_sym(self, syms: int | None = None) -> int:
+        per = 32 // self.codec.bits
+        return -(-(syms or self._UNIFORM_SYMS) // per) * per
 
     @staticmethod
     def _gap_bound(source) -> int:
@@ -1271,7 +1318,8 @@ class KmerCounter:
     _UNIFORM_DENSE_SLOTS = 2
 
     def _dispatch_uniform_dense(
-        self, sources: list, min_count: int, workers: int | None = None
+        self, sources: list, min_count: int, workers: int | None = None,
+        family: int | None = None,
     ) -> list[PendingCount] | None:
         """Fixed-shape MXU-histogram launches (small keyspaces).
 
@@ -1287,12 +1335,14 @@ class KmerCounter:
         from mercat2_tpu.ops.mxu_hist import count_kmers_dense_segments
 
         per = 32 // self.codec.bits
-        n_sym = self._uniform_n_sym()
-        slots = self._UNIFORM_DENSE_SLOTS
         gap = _REC_GAP
         lens = [s.packed_len(gap) for s in sources]
-        if any(length > self._UNIFORM_SYMS for length in lens):
+        fam_auto = self._uniform_family(lens)
+        if fam_auto is None:
             return None
+        family = min(max(family or 0, fam_auto), self._UNIFORM_SYMS)
+        n_sym = self._uniform_n_sym(family)
+        slots = self._UNIFORM_DENSE_SLOTS
         if any(self._gap_bound(s) > self._UNIFORM_GAPS // slots - 2
                for s in sources):
             return None
@@ -1364,46 +1414,56 @@ class KmerCounter:
         if (
             self._DENSE_SMALL_K
             and self._keyspace() <= MXU_MAX_BINS
-            and length <= self._UNIFORM_SYMS
+            and length + per <= self._UNIFORM_SYMS
             and b <= self._UNIFORM_GAPS // self._UNIFORM_DENSE_SLOTS - 2
         ):
             return True  # dense sibling accepts it
         return length + per <= self._UNIFORM_SYMS and b <= self._UNIFORM_GAPS - 2
 
     def dispatch_packed_uniform(
-        self, sources: list, min_count: int = 1, workers: int | None = None
+        self, sources: list, min_count: int = 1, workers: int | None = None,
+        family: int | None = None,
     ) -> list[PendingCount] | None:
         """Count all sources through ONE compiled program shape.
 
-        Files are greedy-packed into fixed _UNIFORM_SYMS-symbol fid-tagged transport
-        buffers (<= 32 files, <= 2^17 gap ranges each) and every buffer runs
-        the SAME compiled ``count_kmers_packed`` program — the count path
-        for pipeline runs, where program-compile count dominates wall time
-        (cold XLA compiles cost 15-100 s each on tunneled backends and
-        per-process caching is unavailable; see NOTES_r4). Small keyspaces
-        route to the sort-free dense sibling (:meth:`_dispatch_uniform_dense`),
-        whose program compiles several times faster. Returns one
-        PendingCount per source, or None when some source does not fit the
-        fixed shape (caller falls back to the adaptive-shape dispatchers).
+        Files are greedy-packed into fixed-symbol fid-tagged transport
+        buffers (<= 32 files, <= 2^17 gap ranges each; the symbol count is
+        the smallest _UNIFORM_FAMILIES entry every source fits) and every
+        buffer runs the SAME compiled ``count_kmers_packed`` program — the
+        count path for pipeline runs, where program-compile count dominates
+        wall time (cold XLA compiles cost 15-100 s each on tunneled
+        backends and per-process caching is unavailable; see NOTES_r4).
+        Small keyspaces route to the sort-free dense sibling
+        (:meth:`_dispatch_uniform_dense`), whose program compiles several
+        times faster. Returns one PendingCount per source, or None when
+        some source does not fit the fixed shape (caller falls back to the
+        adaptive-shape dispatchers).
         """
         from mercat2_tpu.ops.mxu_hist import MXU_MAX_BINS
 
         if self._DENSE_SMALL_K and self._keyspace() <= MXU_MAX_BINS:
-            dense = self._dispatch_uniform_dense(sources, min_count, workers)
+            dense = self._dispatch_uniform_dense(
+                sources, min_count, workers, family
+            )
             if dense is not None:
                 return dense
-        n_sym = self._uniform_n_sym()
         gap = _REC_GAP
         per = 32 // self.codec.bits
         lens = [s.packed_len(gap) for s in sources]
         gapb = [self._gap_bound(s) for s in sources]
+        # a caller-pinned family (from prewarm / round-level size estimates)
+        # is upgraded, never trusted blindly: every source must fit
+        fam_auto = self._uniform_family(lens)
+        if fam_auto is None:  # exceeds the largest family -> adaptive path
+            return None
+        family = min(max(family or 0, fam_auto), self._UNIFORM_SYMS)
+        n_sym = self._uniform_n_sym(family)
         # word-aligned usable capacity mirrors build_packed_group layout:
         # each file's segment is padded to whole words plus one gap symbol.
-        # Capped at _UNIFORM_SYMS exactly (not the word-rounded n_sym) so the
-        # content total always buckets to <= n_sym inside build_packed_group.
-        usable = self._UNIFORM_SYMS
-        if any(length + per > usable for length in lens):
-            return None
+        # Capped at the family size exactly (not the word-rounded n_sym) so
+        # the content total always buckets to <= n_sym inside
+        # build_packed_group.
+        usable = family
         if any(b > self._UNIFORM_GAPS - 2 for b in gapb):
             return None
 

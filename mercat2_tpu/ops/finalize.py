@@ -40,6 +40,112 @@ __all__ = [
 _ONES32 = jnp.uint32(0xFFFFFFFF)
 _I32MAX = jnp.int32(2**31 - 1)
 
+
+def _sort_fused_u64(keyed: list) -> jax.Array:
+    """Fuse a 2-word key column pair into uint64 and sort it.
+
+    Word 0 carries the most-significant key bits in its LOW bits
+    (pack_kmer_words layout), so ``(w0 << 32) | w1`` preserves the
+    lexicographic order of the (w0, w1) tuple, including the all-ones
+    invalid marker (which becomes all-ones u64, still sorting last).
+    Measured on the bench chip, an 8.4M-row single-u64 ``lax.sort`` costs
+    ~23 ms vs ~46 ms for the equivalent two-operand u32 sort (XLA's
+    variadic sort moves every operand through every merge stage), and the
+    1-operand program compiles several times faster — which matters on
+    backends that recompile per process. Must be traced inside
+    ``jax.enable_x64(True)``; only this subsection of the program uses
+    64-bit types, all inputs/outputs stay u32/i32.
+    """
+    x = (keyed[0].astype(jnp.uint64) << jnp.uint64(32)) | keyed[1].astype(
+        jnp.uint64
+    )
+    return jax.lax.sort(x)
+
+
+def _split_u64(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """uint64 -> (hi u32, lo u32) word columns (inverse of the fuse)."""
+    return (
+        (x >> jnp.uint64(32)).astype(jnp.uint32),
+        (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+    )
+
+
+def _finalize_sorted_u64(s: jax.Array, n_valid, min_count, cap: int):
+    """RLE + min-count + compaction over a SORTED uint64 key column.
+
+    Replaces the generic multi-word finalize for the fused-u64 path with a
+    cheaper pass structure (measured ~2x on the bench chip, where the
+    flip/cummin/flip run-length chain dominated):
+
+    - a run survives min_count iff key[i + mc - 1] == key[i] at its start
+      boundary — ONE dynamic-shift compare instead of materializing run
+      lengths for every row (invalid rows hold the all-ones marker, which
+      never equals a valid key, so runs crossing n_valid fail the test
+      for free);
+    - the surviving runs' END rows satisfy the mirrored test
+      key[i - mc + 1] == key[i] at a run end; starts and ends of disjoint
+      runs pair up 1:1 in sorted order, so counts = end - start + 1 after
+      compacting both position sets (no per-row run lengths, no
+      searchsorted — both measured far slower on the bench chip).
+    """
+    p = s.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+    in_valid = pos < n_valid
+    mc = jnp.asarray(min_count, jnp.int32)
+    marker = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    pad = jnp.full((p,), marker, jnp.uint64)
+
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    ) & in_valid
+    fwd = jax.lax.dynamic_slice(
+        jnp.concatenate([s, pad]), (jnp.clip(mc - 1, 0, p),), (p,)
+    )
+    keep = is_start & (fwd == s)
+    n_out = jnp.sum(keep, dtype=jnp.int32)
+
+    is_end = jnp.concatenate(
+        [s[:-1] != s[1:], jnp.ones((1,), bool)]
+    ) & in_valid
+    bwd = jax.lax.dynamic_slice(
+        jnp.concatenate([pad, s]), (jnp.clip(p - (mc - 1), 0, p),), (p,)
+    )
+    end_keep = is_end & (bwd == s)
+
+    kept_pos = _select_first_positions(keep, p, cap)
+    end_pos = _select_first_positions(end_keep, p, cap)
+    keys = s[jnp.minimum(kept_pos, p - 1)]
+    counts = jnp.where(
+        kept_pos < p, jnp.minimum(end_pos, p - 1) - kept_pos + 1, 0
+    )
+    return keys, counts, n_out
+
+
+def _sort_and_finalize(keyed: list, n_valid, min_count, cap: int,
+                       strip_tail: int):
+    """Sort key columns and reduce to the compacted table.
+
+    Uses the fused single-u64 sort + u64 finalize for 2-word keys (the
+    common DNA k in (16, 32] and protein k in (7, 12] cases), the variadic
+    multi-word sort otherwise. Returns (words, counts, n_out) with
+    ``strip_tail`` trailing columns dropped from the output words. The x64
+    context is scoped to the fuse/sort/finalize subsection so the rest of
+    the program (including any Mosaic kernels) traces under default x32
+    rules; the u64 -> 2 x u32 split happens only on the cap-sized output.
+    """
+    if len(keyed) == 2:
+        with jax.enable_x64(True):
+            s = _sort_fused_u64(keyed)
+            keys, counts, n_out = _finalize_sorted_u64(
+                s, n_valid, min_count, cap
+            )
+            words = _split_u64(keys)
+        return words[: 2 - strip_tail], counts, n_out
+    words = jax.lax.sort(tuple(keyed), num_keys=len(keyed))
+    return _finalize_sorted(
+        words[: len(words) - strip_tail], n_valid, min_count, cap
+    )
+
 #: approx_min_k segment size: local positions stay exactly representable
 #: in float32 (< 2**24).
 _SEG = 1 << 23
@@ -261,11 +367,9 @@ def count_kmers_packed(
             keyed += [jnp.where(valid, w, _ONES32) for w in payload]
         total_words = len(keyed)
 
-    words = jax.lax.sort(tuple(keyed), num_keys=total_words)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
-    return _finalize_sorted(
-        words[: len(words) - strip_tail], n_valid, min_count, cap
-    )
+    return _sort_and_finalize(keyed, n_valid, min_count, cap, strip_tail)
+
 
 
 @functools.partial(
@@ -315,13 +419,11 @@ def count_kmers_packed_segments(
         )
         payload = pack_kmer_words(codes, k, bits)
         keyed, strip = build_keyed_words(payload, valid, None, k, bits, 1)
-        words = jax.lax.sort(tuple(keyed), num_keys=len(keyed))
         n_valid = jnp.sum(valid, dtype=jnp.int32)
-        w, c, n = _finalize_sorted(
-            words[: len(words) - strip], n_valid, min_count, cap
-        )
+        w, c, n = _sort_and_finalize(keyed, n_valid, min_count, cap, strip)
         out.extend(list(w) + [c, n])
     return tuple(out)
+
 
 
 @functools.partial(
@@ -370,18 +472,27 @@ def count_kmers_packed_segments_pallas(
             jax.lax.slice_in_dim(packed, w0, w1),
             valid.astype(jnp.uint8), k=k, bits=bits, p=p,
         )
-        words = jax.lax.sort(tuple(keyed), num_keys=len(keyed))
         n_valid = jnp.sum(valid, dtype=jnp.int32)
+        _, tiebreak = key_words_for(k, bits)
+        if len(keyed) == 2:
+            # fused single-u64 sort (device-time-neutral vs the 2-operand
+            # sort, but the 1-key program compiles several times faster,
+            # which matters on per-process-recompile backends), split back
+            # to u32 columns for the Mosaic finalize kernel (~2 ms)
+            with jax.enable_x64(True):
+                words = _split_u64(_sort_fused_u64(list(keyed)))
+        else:
+            words = jax.lax.sort(tuple(keyed), num_keys=len(keyed))
         # the finalize kernel consumes ALL key words (the tie-break word
         # keeps valid keys distinct from the all-ones invalid marker) but
         # only the payload words are emitted downstream
-        _, tiebreak = key_words_for(k, bits)
         w, c, n = finalize_sorted_pallas(
             words, n_valid, min_count=min_count, cap=cap
         )
         out.extend(list(w[: len(words) - int(tiebreak)])
                    + [c, jnp.asarray(n, jnp.int32)])
     return tuple(out)
+
 
 
 @functools.partial(
@@ -421,12 +532,11 @@ def count_kmers_device(
     keyed = [jnp.where(valid, w, _ONES32) for w in payload]
     if tiebreak:
         keyed.append(jnp.where(valid, jnp.uint32(0), _ONES32))
-    words = jax.lax.sort(tuple(keyed), num_keys=total_words)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
+    # the tie-break word (when present) is constant over valid rows and
+    # dropped from the output
+    return _sort_and_finalize(keyed, n_valid, min_count, cap, int(tiebreak))
 
-    # the tie-break word (when present) is constant over valid rows; drop it
-    sorted_payload = words[: total_words - int(tiebreak)]
-    return _finalize_sorted(sorted_payload, n_valid, min_count, cap)
 
 
 def fid_layout(k: int, bits: int, n_files: int) -> tuple[str, int]:
@@ -496,15 +606,13 @@ def count_kmers_multi_device(
         keyed = [jnp.where(valid, w, _ONES32) for w in payload]
         # spare bits make the all-ones invalid marker unambiguous: real fids
         # are < 2**fid_bits - 1 <= the marker's fid field
-        total_words = len(keyed)
     else:
         keyed = [jnp.where(valid, fid, _ONES32)]
         keyed += [jnp.where(valid, w, _ONES32) for w in payload]
-        total_words = len(keyed)
 
-    words = jax.lax.sort(tuple(keyed), num_keys=total_words)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
-    return _finalize_sorted(words, n_valid, min_count, cap)
+    return _sort_and_finalize(keyed, n_valid, min_count, cap, 0)
+
 
 
 @functools.partial(jax.jit, static_argnames=("k", "alphabet_size"))

@@ -190,7 +190,8 @@ def _build_stream(path, counter: KmerCounter, bucket: int | None, nf=None):
 _PREWARMS: dict[tuple, threading.Thread] = {}
 
 
-def _prewarm_uniform(k: int, codec, min_count: int) -> None:
+def _prewarm_uniform(k: int, codec, min_count: int,
+                     family: int | None) -> None:
     import numpy as np
 
     from mercat2_tpu.engine.counter import KmerCounter, NumpySource
@@ -199,27 +200,35 @@ def _prewarm_uniform(k: int, codec, min_count: int) -> None:
         counter = KmerCounter(k, codec)
         seq = np.tile(codec.symbols[: min(4, codec.size)], max(k, 8))
         src = NumpySource(seq, np.zeros(seq.shape[0], np.int64), codec)
-        pendings = counter.dispatch_packed_uniform([src], min_count)
+        pendings = counter.dispatch_packed_uniform(
+            [src], min_count, family=family
+        )
         for p in pendings or []:
             p.table()
     except Exception:  # pragma: no cover - speculative; real path reports
         pass
 
 
-def _start_prewarm(k: int, codec, min_count: int) -> None:
+def _start_prewarm(k: int, codec, min_count: int,
+                   syms_hint: int = 0) -> None:
     """Compile the uniform count program for (k, codec) in the background.
 
     Distinct XLA programs cost 15-100 s each to compile on tunneled TPU
     backends (no usable persistent cache there), so the pipeline kicks the
     two known program families off as soon as the input mix is known —
     overlapping the compile with host-side load / clean / ORF stages. The
-    count stage joins the matching thread before dispatching.
+    count stage joins the matching thread before dispatching. ``syms_hint``
+    (estimated max symbols per file) picks the size family to compile.
     """
     key = (k, codec.bits, codec.size)
     if key in _PREWARMS:
         return
+    from mercat2_tpu.engine.counter import KmerCounter
+
+    family = KmerCounter(k, codec)._uniform_family([max(0, syms_hint)])
     t = threading.Thread(
-        target=_prewarm_uniform, args=(k, codec, min_count), daemon=True
+        target=_prewarm_uniform, args=(k, codec, min_count, family),
+        daemon=True,
     )
     _PREWARMS[key] = t
     t.start()
@@ -405,17 +414,28 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
         wave_cap_syms = 2 * counter._UNIFORM_SYMS
         wave_cap_files = 2 * counter._UNIFORM_FILES
 
+        # pin the uniform size family for the whole round from the FIRST
+        # wave's exact packed lengths (rounds are homogeneous), so every
+        # wave shares ONE program; dispatch upgrades per wave if a later
+        # file is bigger
+        round_family: int | None = None
+
         def fetch_wave() -> None:
             names, pendings = inflight_waves.popleft()
             for name, tbl in zip(names, fetch_tables(pendings)):
                 tables[name].append(tbl)
 
         def dispatch_wave() -> bool:
-            nonlocal wave, wave_syms
+            nonlocal wave, wave_syms, round_family
             if not wave:
                 return True
+            if round_family is None:
+                round_family = counter._uniform_family(
+                    [s.packed_len(_REC_GAP) for _, _, s in wave]
+                )
             pendings = counter.dispatch_packed_uniform(
-                [s for _, _, s in wave], min_count, workers
+                [s for _, _, s in wave], min_count, workers,
+                family=round_family,
             )
             if pendings is None:  # rare mixed dense/sort edge: bail to adaptive
                 return False
@@ -659,14 +679,38 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
             inputs = host_shard(inputs)
         if cfg.min_count > 1 and _resolve_mesh(cfg.mesh) is None:
             # speculative background compiles of the two canonical uniform
-            # count programs (see _start_prewarm; single-device path only)
+            # count programs (see _start_prewarm; single-device path only).
+            # Size hints pick the uniform family (small files compile a
+            # ~3x cheaper program): nucleotide rounds see the input files;
+            # protein rounds see faa inputs or ORF outputs (~1/3 of the
+            # nt bytes). Gzipped inputs are assumed <= 4x compressed.
             from mercat2_tpu.engine.codec import DNA_CODEC, PROTEIN_CODEC
 
-            exts = {_file_ext(Path(p)) for p in inputs}
-            if exts & set(FILE_EXT_NUCLEOTIDE + FILE_EXT_FASTQ):
-                _start_prewarm(cfg.kmer, DNA_CODEC, cfg.min_count)
-            if (exts & set(FILE_EXT_PROTEIN)) or cfg.prodigal or cfg.fgs:
-                _start_prewarm(cfg.kmer, PROTEIN_CODEC, cfg.min_count)
+            def est_syms(p, gz_mult: float) -> int:
+                # gz expansion: ~3.5-4x for DNA, ~2.2-2.6x for protein
+                try:
+                    sz = Path(p).stat().st_size
+                except OSError:
+                    return 0
+                return int(sz * gz_mult) if str(p).endswith(".gz") else sz
+
+            nt_in = [p for p in inputs
+                     if _file_ext(Path(p)) in FILE_EXT_NUCLEOTIDE
+                     or _file_ext(Path(p)) in FILE_EXT_FASTQ]
+            aa_in = [p for p in inputs
+                     if _file_ext(Path(p)) in FILE_EXT_PROTEIN]
+            if nt_in:
+                _start_prewarm(cfg.kmer, DNA_CODEC, cfg.min_count,
+                               max(est_syms(p, 4.0) for p in nt_in))
+            if aa_in or cfg.prodigal or cfg.fgs:
+                hint = max((est_syms(p, 2.5) for p in aa_in), default=0)
+                if cfg.prodigal or cfg.fgs:
+                    hint = max(
+                        hint,
+                        max((est_syms(p, 4.0) for p in nt_in),
+                            default=0) // 3,
+                    )
+                _start_prewarm(cfg.kmer, PROTEIN_CODEC, cfg.min_count, hint)
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = []
             for path in inputs:
