@@ -11,12 +11,14 @@ preprocessing), so this module provides native equivalents:
   (fastp's trimBySequence matching rule — min 4-base overlap with one
   mismatch allowed per 8 compared bases) followed by fastp's default read
   filters (quality-limit 15 / unqualified-percent 40, N-limit 5, min
-  length 15). Adapter auto-detection deviates from fastp's exact
-  evaluator: we probe the standard Illumina adapters against read tails
-  instead of fastp's seed-consensus walk (documented deviation; pass
-  ``adapter=`` to pin a sequence, ``adapter=None`` to disable). On
-  adapter-free inputs the output is identical to fastp's — verified
-  byte-for-byte against the reference's fastp run on Test_R1.fastq
+  length 15). Adapter auto-detection implements fastp's seed-consensus
+  evaluator (count 10-base seeds, extend the enriched winner by majority
+  vote — see :func:`_evaluate_adapter_consensus`), snapping consensus
+  hits onto the known Illumina adapters and keeping a known-adapter
+  prefix probe as a low-frequency fallback (pass ``adapter=`` to pin a
+  sequence, ``adapter=None`` to disable). On adapter-free inputs the
+  output is identical to fastp's — verified byte-for-byte against the
+  reference's fastp run on Test_R1.fastq
   (results/2023-11-29/test-qc/clean/Test_R1.fna.gz),
 - :func:`fq2fa` converts records 1:1 to a gzipped FASTA, exactly like the
   reference's ``sed -n '1~4s/^@/>/p;2~4p'`` pipeline.
@@ -243,13 +245,113 @@ def _adapter_trim_pos_batch(fq: FastqArrays, adapter: bytes) -> np.ndarray:
     return np.minimum(first - fq.offsets[:-1], lens)
 
 
-def _detect_adapter(fq: FastqArrays, min_hit_frac: float = 0.01) -> bytes | None:
-    """Probe the known Illumina adapters against read tails.
+_SEED_LEN = 10
+_CODE_LUT = np.full(256, 4, np.int64)
+for _i, _b in enumerate(b"ACGT"):
+    _CODE_LUT[_b] = _i
 
-    A documented deviation from fastp's seed-consensus evaluator: an
-    adapter is reported when >= ``min_hit_frac`` of reads contain its
-    12-base prefix (vectorized substring scan over the flat base array).
-    Identical outcome on adapter-free data (no adapter, no trimming)."""
+
+def _decode_seed(sv: int) -> bytes:
+    return bytes(
+        b"ACGT"[(sv >> (2 * (_SEED_LEN - 1 - t))) & 3]
+        for t in range(_SEED_LEN)
+    )
+
+
+def _evaluate_adapter_consensus(fq: FastqArrays,
+                                sample: int = 100_000) -> bytes | None:
+    """fastp-style seed-count + consensus-extension adapter evaluator.
+
+    Re-derived from fastp's documented SE auto-detection behavior
+    (evaluator.cpp, evalAdapterAndReadNum): count every 10-base ACGT seed
+    over the sampled reads, discard low-complexity seeds (one base >= 60%
+    of the seed), take the most frequent seed when its occurrence count
+    clears the enrichment threshold, then extend it rightward by majority
+    vote of the next base (support >= 50% of the reads carrying the
+    current consensus) up to 35 bases. Vectorized numpy over the flat
+    base array; tests/test_adapter_eval.py pins it against a direct
+    per-read oracle of the same rules.
+    """
+    n = min(fq.n_reads, sample)
+    if n == 0:
+        return None
+    end = int(fq.offsets[n])
+    seq = fq.seq[:end]
+    if seq.shape[0] < _SEED_LEN:
+        return None
+    read_of = np.repeat(np.arange(n, dtype=np.int64),
+                        np.diff(fq.offsets[: n + 1]))
+    code = _CODE_LUT[seq]
+    m = seq.shape[0] - _SEED_LEN + 1
+    packed = np.zeros(m, np.int64)
+    ok = read_of[:m] == read_of[_SEED_LEN - 1 :]  # window within one read
+    for t in range(_SEED_LEN):
+        c = code[t : t + m]
+        ok &= c < 4
+        packed = (packed << 2) | c
+    seeds = packed[ok]
+    if seeds.size == 0:
+        return None
+    counts = np.bincount(seeds, minlength=4 ** _SEED_LEN)
+    thresh = max(10, n // 20)
+    for sv in np.argsort(counts)[::-1][:256]:
+        c = int(counts[sv])
+        if c < thresh:
+            return None
+        kmer = _decode_seed(int(sv))
+        if max(kmer.count(b) for b in b"ACGT") >= 0.6 * _SEED_LEN:
+            continue  # low complexity
+        return _extend_consensus(seq, read_of, kmer)
+    return None
+
+
+def _extend_consensus(seq: np.ndarray, read_of: np.ndarray,
+                      seed: bytes) -> bytes:
+    """Extend a winning seed rightward by per-read majority vote."""
+    adapter = bytearray(seed)
+    while len(adapter) < 35:
+        a = np.frombuffer(bytes(adapter), np.uint8)
+        la = a.shape[0]
+        m = seq.shape[0] - la  # a hit needs la bases + the next one
+        if m <= 0:
+            break
+        match = np.ones(m, bool)
+        for t in range(la):
+            match &= seq[t : t + m] == a[t]
+        match &= read_of[:m] == read_of[la : la + m]
+        hits = np.flatnonzero(match)
+        if hits.size == 0:
+            break
+        # first occurrence per read, like fastp's find-based walk
+        first = hits[np.unique(read_of[hits], return_index=True)[1]]
+        nxt = np.bincount(seq[first + la], minlength=256)
+        b = int(nxt.argmax())
+        if int(nxt[b]) < max(2, first.size // 2):
+            break
+        adapter.append(b)
+    return bytes(adapter)
+
+
+def _snap_known(consensus: bytes) -> bytes | None:
+    """Map a detected consensus onto a known Illumina adapter (fastp also
+    reports matches against its known-adapter list)."""
+    for known in _KNOWN_ADAPTERS:
+        if (
+            known.startswith(consensus)
+            or consensus[:12] in known
+            or known[:12] in consensus
+        ):
+            return known
+    return None
+
+
+def _probe_known_adapters(fq: FastqArrays,
+                          min_hit_frac: float = 0.01) -> bytes | None:
+    """Probe the known Illumina adapter prefixes against the reads.
+
+    Fallback sensitivity pass when the consensus evaluator finds nothing
+    (adapter present in < ~5% of reads): an adapter is reported when >=
+    ``min_hit_frac`` of reads contain its 12-base prefix."""
     n = fq.n_reads
     if n == 0:
         return None
@@ -275,6 +377,21 @@ def _detect_adapter(fq: FastqArrays, min_hit_frac: float = 0.01) -> bytes | None
         if hits >= max(1, int(min_hit_frac * sample)):
             return adapter
     return None
+
+
+def _detect_adapter(fq: FastqArrays, min_hit_frac: float = 0.01) -> bytes | None:
+    """Auto-detect the adapter, fastp style.
+
+    The seed-consensus evaluator (fastp's algorithm) runs first; a
+    consensus overlapping a known Illumina adapter snaps to the full known
+    sequence (fastp reports known-adapter matches the same way), and an
+    unknown consensus is used as-is — custom adapters are detected too.
+    When the evaluator finds nothing, the known-adapter prefix probe adds
+    a sensitivity fallback for low-frequency contamination."""
+    consensus = _evaluate_adapter_consensus(fq)
+    if consensus is not None:
+        return _snap_known(consensus) or consensus
+    return _probe_known_adapters(fq, min_hit_frac)
 
 
 def trim(
@@ -344,9 +461,10 @@ def trim(
         dropped_reads=int(dropped),
         adapter=adapter.decode() if adapter else None,
         adapter_detector=(
-            "known-adapter prefix probe (deviation from fastp's "
-            "seed-consensus evaluator; see tests/test_adapter_eval.py "
-            "for the measured delta)"
+            "fastp-style seed-consensus evaluator (snapped to known "
+            "Illumina adapters) with a known-adapter prefix-probe "
+            "fallback; pinned against a per-read oracle in "
+            "tests/test_adapter_eval.py"
         ),
         filters=dict(
             qualified_quality_phred=qualified_quality_phred,

@@ -1,15 +1,16 @@
-"""Adapter auto-detection delta vs a fastp-style seed-consensus oracle.
+"""Adapter auto-detection vs a fastp-style seed-consensus oracle.
 
-Our trimmer's detection (io.fastq._detect_adapter) probes the known
-Illumina adapter prefixes — a documented deviation from fastp's evaluator,
-which counts 10-base seeds over sampled reads and extends the winner into
-a consensus sequence (fastp evaluator.cpp, evalAdapterAndReadNum). This
-test re-implements that seed-consensus algorithm as an oracle, feeds both
-detectors adapter-rich synthetic data (adapter at random insert positions,
-with sequencing errors), and asserts the RESULTING TRIMS agree — bounding
-the deviation at zero differing reads on this corpus. The trimming rule
-itself (trimBySequence: >=4-base overlap, <=1 mismatch per 8 bases) is
-shared, so detection is the only source of divergence.
+io.fastq._detect_adapter now implements fastp's evaluator natively:
+count 10-base seeds over sampled reads and extend the winner into a
+consensus sequence (fastp evaluator.cpp, evalAdapterAndReadNum), snapping
+onto known Illumina adapters, with a known-adapter prefix probe as a
+low-frequency fallback. This module re-implements the seed-consensus
+algorithm as a straightforward per-read oracle, feeds both adapter-rich
+synthetic data (adapter at random insert positions, with sequencing
+errors), and asserts seed, consensus, and the RESULTING TRIMS agree. The
+trimming rule itself (trimBySequence: >=4-base overlap, <=1 mismatch per
+8 bases) is shared, so detection is the only possible source of
+divergence.
 """
 
 import random
@@ -135,7 +136,7 @@ def test_trim_report_documents_adapter(tmp_path):
     trim(f, tmp_path / "out", "reads")
     rep = json.loads((tmp_path / "out" / "reads-trim.json").read_text())
     assert rep["adapter"] == TRUSEQ.decode()
-    assert "deviation" in rep["adapter_detector"]
+    assert "seed-consensus" in rep["adapter_detector"]
     # adapter-bearing reads were actually clipped
     trimmed = read_fastq(tmp_path / "out" / "reads_trim.fastq")
     assert trimmed.lengths().mean() < read_fastq(f).lengths().mean()
@@ -169,3 +170,40 @@ def test_batch_trim_pos_short_and_empty_reads():
         batch = _adapter_trim_pos_batch(fq, TRUSEQ)
         for i, s in enumerate(seqs):
             assert batch[i] == _adapter_trim_pos(s, TRUSEQ), (i, s)
+
+
+def test_consensus_evaluator_matches_oracle(tmp_path):
+    """The vectorized product evaluator == the per-read oracle, seed and
+    consensus alike, on adapter-rich data."""
+    from mercat2_tpu.io.fastq import _evaluate_adapter_consensus
+
+    f = tmp_path / "reads.fastq"
+    _synthetic_fastq(f, 400, TRUSEQ, 0.5, seed=11, err=0.0)
+    fq = read_fastq(f)
+    ours = _evaluate_adapter_consensus(fq)
+    oracle = _fastp_style_evaluator(fq)
+    assert ours is not None and oracle is not None
+    assert ours == oracle
+
+
+def test_custom_adapter_detected_and_trimmed(tmp_path):
+    """A non-Illumina adapter (absent from the known list) is found by the
+    consensus evaluator and clipped — the old prefix probe could not."""
+    custom = b"TGCACTGAGGCTAACTTGCCGATCGTAGCAAGCTA"
+    assert all(custom[:12] not in k for k in _KNOWN_ADAPTERS)
+    f = tmp_path / "reads.fastq"
+    _synthetic_fastq(f, 400, custom, 0.6, seed=5, err=0.0)
+    fq = read_fastq(f)
+    det = _detect_adapter(fq)
+    assert det is not None and det[:10] == custom[:10], det
+    trim(f, tmp_path / "out", "reads")
+    trimmed = read_fastq(tmp_path / "out" / "reads_trim.fastq")
+    assert trimmed.lengths().mean() < fq.lengths().mean()
+
+
+def test_consensus_quiet_on_adapter_free(tmp_path):
+    from mercat2_tpu.io.fastq import _evaluate_adapter_consensus
+
+    f = tmp_path / "clean.fastq"
+    _synthetic_fastq(f, 400, None, 0.0, seed=13)
+    assert _evaluate_adapter_consensus(read_fastq(f)) is None
