@@ -448,9 +448,47 @@ def _sharded_count_packed_device(wshards, gap_begin, gap_end, file_starts,
     )(wshards, gap_begin, gap_end, file_starts, n_total, min_count)
 
 
+#: default per-device HBM budget for the distributed-sort routing buffers.
+#: The route ships [D, seg_cap] per key word (send gather + all_to_all
+#: receive + merged sort copy ~= 3 live copies), i.e. ~12 * W * over * L
+#: bytes per device for L owned window starts — 480 MB/device at 16
+#: MB/device content and 2x overprovision (docs/WEAK_SCALING.json), which
+#: would thrash a 16 GB chip at full-size launch groups. Launches are
+#: batched so the estimate stays under this budget.
+_ROUTE_HBM_BUDGET = 128 << 20
+
+
+def _route_batches(counter, sources: list, D: int, overprovision: float,
+                   hbm_budget: int) -> list[list[int]]:
+    """Greedy batches of source indices whose routing footprint fits the
+    per-device HBM budget (see _ROUTE_HBM_BUDGET). A single oversized file
+    still gets its own launch (per-file min-count semantics need every
+    window of a file in one launch); its overshoot is reported via stats.
+    """
+    from mercat2_tpu.engine.counter import _REC_GAP
+
+    W, _ = _sort_words_for(counter.k, counter.codec.bits, len(sources))
+    bytes_per_sym = 12.0 * W * max(1.0, overprovision) / D  # per device
+    max_content = max(1, int(hbm_budget / bytes_per_sym))
+    batches: list[list[int]] = []
+    cur: list[int] = []
+    cur_sym = 0
+    for i, s in enumerate(sources):
+        length = s.packed_len(_REC_GAP) + _REC_GAP
+        if cur and cur_sym + length > max_content:
+            batches.append(cur)
+            cur, cur_sym = [], 0
+        cur.append(i)
+        cur_sym += length
+    if cur:
+        batches.append(cur)
+    return batches
+
+
 def sharded_count_sources(counter, sources: list, min_count: int,
                           mesh: Mesh | None = None, *,
                           overprovision: float = 2.0,
+                          hbm_budget: int = _ROUTE_HBM_BUDGET,
                           stats: dict | None = None) -> list:
     """Mesh-parallel count of several files from packed-transport sources.
 
@@ -462,7 +500,42 @@ def sharded_count_sources(counter, sources: list, min_count: int,
     (``bits <= 6``; whole words carry ``per = 32 // bits`` symbols, any
     spare high bits stay zero — e.g. the 5-bit protein codec packs 6
     symbols per word with 2 spare bits).
+
+    Launches are batched so the routing buffers stay under ``hbm_budget``
+    bytes per device (files stay whole within a batch, preserving the
+    per-file filter semantics; batches reuse the same compiled program
+    shapes when their bucketed sizes agree).
     """
+    n_files = len(sources)
+    if n_files == 0:
+        return []
+    D = int(mesh.shape[mesh.axis_names[0]]) if mesh is not None else max(
+        1, len(jax.devices())
+    )
+    batches = _route_batches(counter, sources, D, overprovision, hbm_budget)
+    if len(batches) > 1:
+        result: list = [None] * n_files
+        for b in batches:
+            tables = _sharded_count_sources_one(
+                counter, [sources[i] for i in b], min_count, mesh,
+                overprovision=overprovision, stats=stats,
+            )
+            for row, i in enumerate(b):
+                result[i] = tables[row]
+        if stats is not None:
+            stats.update(route_batches=len(batches))
+        return result
+    return _sharded_count_sources_one(
+        counter, sources, min_count, mesh,
+        overprovision=overprovision, stats=stats,
+    )
+
+
+def _sharded_count_sources_one(counter, sources: list, min_count: int,
+                               mesh: Mesh | None = None, *,
+                               overprovision: float = 2.0,
+                               stats: dict | None = None) -> list:
+    """One mesh launch group of :func:`sharded_count_sources`."""
     from mercat2_tpu.engine.counter import (
         KmerTable, _DEFAULT_CAP, _split_fid_tables,
     )
@@ -537,8 +610,10 @@ def sharded_count_sources(counter, sources: list, min_count: int,
             continue
         break
     if stats is not None:
+        W, _ = _sort_words_for(k, codec.bits, n_files)
         stats.update(skew_retries=skew_retries, cap_retries=cap_retries,
-                     seg_cap=seg_cap, n_devices=D, block=block)
+                     seg_cap=seg_cap, n_devices=D, block=block,
+                     route_bytes_per_device=12 * W * D * seg_cap)
 
     word_cols = [np.asarray(w) for w in out[:-3]]
     counts = np.asarray(out[-3])
