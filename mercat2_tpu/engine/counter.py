@@ -40,9 +40,13 @@ _REC_GAP = 1
 #: Streams are padded up to one of these sizes to bound recompilations.
 _MIN_BUCKET = 1 << 16
 
-#: The device pack loop unrolls k iterations; beyond this we take an exact
-#: host (numpy) path instead of compiling a pathological kernel.
-_MAX_DEVICE_K = 128
+#: The device pack loop unrolls O(k) elementwise passes and the sort
+#: carries ceil(k*bits/32) operands; beyond this bound we take an exact
+#: host (numpy) path instead of compiling a pathological kernel. 256 keeps
+#: every realistic k on the accelerator (a 256-mer DNA key is 16 sort
+#: words); compile time grows with the operand count, so the cap is a
+#: compile-cost guard, not a correctness limit.
+_MAX_DEVICE_K = 256
 
 #: Single chip always uses the sorted path: it measured 1.6-2.4x FASTER
 #: than scatter-add dense histograms even for tiny keyspaces, and its output
@@ -1182,7 +1186,8 @@ class KmerCounter:
         # overflows and cap overflows report n_out > cap, and the retry in
         # _PendingSegments goes through the XLA variant — identical output.
         use_pallas = False
-        if min_count > 1 and self.codec.bits in (1, 2, 4) and self.k >= 2:
+        if (min_count > 1 and self.codec.bits in (1, 2, 4)
+                and 2 <= self.k <= 129):  # build_keys_pallas halo bound
             from mercat2_tpu.ops.pallas_finalize import pallas_ok
 
             use_pallas = pallas_ok() and all(c <= (1 << 16) for c in caps)

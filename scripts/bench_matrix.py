@@ -36,31 +36,35 @@ enable_compilation_cache()
 import bench
 files = sorted(__import__("pathlib").Path({data!r}).glob("*.fna.gz"))
 k = {k}
-bench._count_cold(files, k)   # pays this process's XLA compiles
-t0 = time.perf_counter()
-total, n, dt = bench._count_cold(files, k)
+bench._count_cold(files, k)   # pays this process's one-time XLA compiles
+dts = []
+for _ in range({trials}):
+    total, n, dt = bench._count_cold(files, k)
+    dts.append(dt)
 rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
-print(json.dumps({{"dt": dt, "rss": rss, "bases": total, "kmers": n}}))
+print(json.dumps({{"dts": dts, "rss": rss, "bases": total, "kmers": n}}))
 """
 
 
 def main() -> None:
     rows = []
     for k in KS:
-        dts, rsss = [], []
-        for t in range(TRIALS):
-            p = subprocess.run(
-                [sys.executable, "-c",
-                 _CHILD.format(root=str(ROOT), data=str(DATA), k=k)],
-                capture_output=True, text=True,
-            )
-            line = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            assert p.returncode == 0 and line, (k, p.stderr[-800:])
-            rec = json.loads(line[-1])
-            dts.append(rec["dt"])
-            rsss.append(rec["rss"])
-            print(f"k={k} trial {t + 1}/{TRIALS}: {rec['dt']:.3f}s "
-                  f"rss {rec['rss']:.0f} MB", flush=True)
+        # one fresh process per k: it pays that k's compiles once, then
+        # runs every trial cold-from-disk (the reference's matrix likewise
+        # excludes interpreter/setup cost by scraping the in-run
+        # "Time to count" line, results_2023-11-08/compile_results.py)
+        p = subprocess.run(
+            [sys.executable, "-c",
+             _CHILD.format(root=str(ROOT), data=str(DATA), k=k,
+                           trials=TRIALS)],
+            capture_output=True, text=True,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        assert p.returncode == 0 and line, (k, p.stderr[-800:])
+        rec = json.loads(line[-1])
+        dts, rsss = rec["dts"], [rec["rss"]]
+        print(f"k={k}: trials {[round(d, 3) for d in dts]} "
+              f"rss {rec['rss']:.0f} MB", flush=True)
         rows.append((k, dts, rsss))
 
     out = ROOT / "docs" / "results.csv"

@@ -240,3 +240,21 @@ def test_packed_segments_cap_overflow_retry():
     assert len(got) == len(want) and len(got) > KmerCounter._SPEC_ROWS
     np.testing.assert_array_equal(got.kmers, want.kmers)
     np.testing.assert_array_equal(got.counts, want.counts)
+
+
+@pytest.mark.parametrize("k", [135, 200])
+def test_large_k_stays_on_device(k):
+    """k in (128, 256] runs the device sort path (multiword keys), exact
+    vs the naive oracle; the host-numpy fallback now starts above 256."""
+    from mercat2_tpu.engine.counter import _MAX_DEVICE_K
+
+    assert k <= _MAX_DEVICE_K
+    rng = random.Random(k)
+    recs = ["".join(rng.choice("ACGT") for _ in range(rng.randint(100, 400)))
+            for _ in range(6)]
+    recs += [recs[0]]  # a duplicate record -> counts >= 2 exist
+    got = _count(recs, k)
+    assert got == naive_kmers(recs, k)
+    got2 = _count(recs, k, min_count=2)
+    want2 = {km: c for km, c in naive_kmers(recs, k).items() if c >= 2}
+    assert got2 == want2
