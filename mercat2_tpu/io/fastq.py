@@ -136,6 +136,23 @@ def _qc_stats(fq: FastqArrays) -> dict:
         if n
         else np.zeros(0)
     )
+
+    # fastqc-style per-base sequence content: % A/C/G/T/N at each position
+    content = []
+    if n:
+        bmat = np.zeros((n, max_len), np.uint8)
+        bmat[read_of, pos_of] = fq.seq
+        covered = np.maximum((bmat > 0).sum(axis=0), 1)
+        pct = {
+            b: (bmat == ord(b)).sum(axis=0) * 100.0 / covered
+            for b in "ACGTN"
+        }
+        content = [
+            {"pos": p + 1, **{b.lower(): round(float(pct[b][p]), 2)
+                              for b in "ACGTN"}}
+            for p in range(max_len)
+        ]
+
     return dict(
         n_reads=n,
         total_bases=int(lens.sum()) if n else 0,
@@ -144,8 +161,95 @@ def _qc_stats(fq: FastqArrays) -> dict:
         mean_len=float(lens.mean()) if n else 0.0,
         mean_gc=float(gc.mean()) if n else 0.0,
         per_position=stats_pos,
+        per_base_content=content,
         mean_read_quality=float(mean_q_per_read.mean()) if n else 0.0,
+        duplication=_duplication_stats(fq),
+        overrepresented=_overrepresented(fq),
     )
+
+
+#: fastqc tracks the first 100k distinct sequences, truncated to 50 bp
+_DUP_SAMPLE = 100_000
+_DUP_TRUNC = 50
+_DUP_BINS = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 50, 100, 500, 1000, 5000, 10000]
+_DUP_LABELS = ["1", "2", "3", "4", "5", "6", "7", "8", "9", ">10", ">50",
+               ">100", ">500", ">1k", ">5k", ">10k"]
+
+
+def _sampled_keys(fq: FastqArrays) -> np.ndarray:
+    """S50 byte-string keys (reads truncated to 50 bp) of the sample."""
+    n = min(fq.n_reads, _DUP_SAMPLE)
+    if n == 0:
+        return np.zeros(0, dtype=f"S{_DUP_TRUNC}")
+    keylen = np.minimum(fq.lengths()[:n], _DUP_TRUNC)
+    mat = np.zeros((n, _DUP_TRUNC), np.uint8)
+    pos = np.arange(_DUP_TRUNC)[None, :]
+    take = pos < keylen[:, None]
+    mat[take] = fq.seq[
+        (fq.offsets[:n, None] + pos)[take]
+    ]
+    return mat.view(f"S{_DUP_TRUNC}").ravel()
+
+
+def _duplication_stats(fq: FastqArrays) -> dict:
+    """fastqc-style sequence duplication levels.
+
+    Reads (truncated to 50 bp like fastqc) are exact-matched; the
+    histogram bins duplication levels 1..9, >10, >50, ... and reports the
+    percentage of all reads and of distinct reads per bin, plus the
+    fraction of the library remaining after deduplication (fastqc's
+    headline number)."""
+    keys = _sampled_keys(fq)
+    if keys.size == 0:
+        return dict(pct_remaining_if_dedup=100.0, levels=[])
+    _, counts = np.unique(keys, return_counts=True)
+    total = int(counts.sum())
+    distinct = int(counts.size)
+    idx = np.digitize(counts, _DUP_BINS[1:], right=False)
+    levels = []
+    for i, label in enumerate(_DUP_LABELS):
+        sel = counts[idx == i]
+        if sel.size == 0 and i >= 10:
+            continue
+        levels.append(dict(
+            level=label,
+            pct_of_total=round(float(sel.sum()) * 100.0 / total, 3),
+            pct_of_distinct=round(sel.size * 100.0 / distinct, 3),
+        ))
+    return dict(
+        pct_remaining_if_dedup=round(distinct * 100.0 / total, 2),
+        levels=levels,
+    )
+
+
+def _overrepresented(fq: FastqArrays, min_frac: float = 0.001) -> list[dict]:
+    """fastqc-style overrepresented sequences: truncated reads making up
+    more than ``min_frac`` of the sample, with a possible-source label
+    (matched against the known adapter list, like fastqc's contaminant
+    screen)."""
+    keys = _sampled_keys(fq)
+    if keys.size == 0:
+        return []
+    uniq, counts = np.unique(keys, return_counts=True)
+    total = int(counts.sum())
+    cut = max(2, int(min_frac * total))
+    out = []
+    for i in np.argsort(counts)[::-1]:
+        if counts[i] < cut or len(out) >= 20:
+            break
+        seq = uniq[i].rstrip(b"\x00")
+        source = "No Hit"
+        for ad in _KNOWN_ADAPTERS:
+            if ad[:12] in seq or seq[:12] in ad:
+                source = f"Adapter ({ad[:16].decode()}...)"
+                break
+        out.append(dict(
+            sequence=seq.decode("latin-1"),
+            count=int(counts[i]),
+            percentage=round(float(counts[i]) * 100.0 / total, 3),
+            possible_source=source,
+        ))
+    return out
 
 
 def qc(fq_file, outpath, f_name: str) -> Path:
@@ -162,16 +266,38 @@ def qc(fq_file, outpath, f_name: str) -> Path:
     from mercat2_tpu.report.figures import quality_curve_svg
 
     html_out = outpath / f"{stem}_qc.html"
+    scalar = {
+        k: v for k, v in stats.items()
+        if k not in ("per_position", "per_base_content", "duplication",
+                     "overrepresented")
+    }
     rows = "".join(
-        f"<tr><td>{k}</td><td>{v}</td></tr>"
-        for k, v in stats.items()
-        if k != "per_position"
+        f"<tr><td>{k}</td><td>{v}</td></tr>" for k, v in scalar.items()
     )
+    dup = stats["duplication"]
+    dup_rows = "".join(
+        f"<tr><td>{d['level']}</td><td>{d['pct_of_total']}</td>"
+        f"<td>{d['pct_of_distinct']}</td></tr>"
+        for d in dup.get("levels", [])
+    )
+    over_rows = "".join(
+        f"<tr><td><code>{o['sequence']}</code></td><td>{o['count']}</td>"
+        f"<td>{o['percentage']}</td><td>{o['possible_source']}</td></tr>"
+        for o in stats["overrepresented"]
+    ) or "<tr><td colspan='4'>none over 0.1%</td></tr>"
     html_out.write_text(
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
         f"<title>QC {stem}</title></head><body><h1>Read QC: {stem}</h1>"
         f"<table border='1'>{rows}</table>"
         f"{quality_curve_svg(stats['per_position'])}"
+        "<h2>Sequence duplication levels</h2>"
+        f"<p>Reads remaining if deduplicated: "
+        f"{dup['pct_remaining_if_dedup']}%</p>"
+        "<table border='1'><tr><th>level</th><th>% of total</th>"
+        f"<th>% of distinct</th></tr>{dup_rows}</table>"
+        "<h2>Overrepresented sequences</h2>"
+        "<table border='1'><tr><th>sequence (50bp)</th><th>count</th>"
+        f"<th>%</th><th>possible source</th></tr>{over_rows}</table>"
         "</body></html>"
     )
     return html_out

@@ -215,3 +215,48 @@ def test_vendored_fgs_matches_golden_faa(tmp_path, golden_results):
     with _gzip.open(golden, "rb") as f:
         want = f.read()
     assert got == want
+
+
+def test_qc_fastqc_depth_stats(tmp_path):
+    """fastqc-depth QC content: per-base composition, duplication levels,
+    overrepresented sequences (ref shells out to fastqc,
+    lib/mercat2_fasta.py:150)."""
+    import json
+
+    from mercat2_tpu.io.fastq import _KNOWN_ADAPTERS, qc
+
+    dup = b"ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTAC"
+    adapter_read = _KNOWN_ADAPTERS[0][:33] + b"ACGTACGTACGTACGTA"
+    lines = []
+    for i in range(60):
+        seq = dup if i < 30 else bytes(
+            __import__("random").Random(i).choice(b"ACGT") for _ in range(50)
+        )
+        if 30 <= i < 40:
+            seq = adapter_read
+        lines += [b"@r%d" % i, seq, b"+", b"I" * len(seq)]
+    f = tmp_path / "dups.fastq"
+    f.write_bytes(b"\n".join(lines) + b"\n")
+    qc(f, tmp_path, "dups")
+    stats = json.loads((tmp_path / "dups.fastq_qc.json").read_text())
+
+    content = stats["per_base_content"]
+    assert len(content) == 50
+    for row in content[:3]:
+        s = row["a"] + row["c"] + row["g"] + row["t"] + row["n"]
+        assert 99.0 <= s <= 101.0
+
+    d = stats["duplication"]
+    assert d["pct_remaining_if_dedup"] < 50.0  # half the reads are one dup
+    lvl = {r["level"]: r for r in d["levels"]}
+    assert lvl[">10"]["pct_of_total"] >= 50.0  # the 30-copy read's bin
+
+    over = stats["overrepresented"]
+    seqs = [o["sequence"] for o in over]
+    assert dup.decode() in seqs
+    adapter_hits = [o for o in over if o["possible_source"] != "No Hit"]
+    assert adapter_hits and adapter_hits[0]["count"] == 10
+
+    html = (tmp_path / "dups.fastq_qc.html").read_text()
+    assert "Sequence duplication levels" in html
+    assert "Overrepresented sequences" in html
