@@ -200,9 +200,24 @@ def _pipeline_cold_once() -> tuple[float, float]:
         "print(f'BENCHWALL {wall:.3f} {rss}')\n"
         "sys.exit(p.returncode)\n"
     )
+    # the inner shim reports the python pipeline process's OWN peak too:
+    # the tree max is dominated by the vendored FragGeneScanRs binary
+    # (measured 1218 MB alone on the 7.8 Mbp Rleg genome — the same tool
+    # the reference launches, but inside Ray workers its `time -v`
+    # measurement could never see)
+    inner = (
+        "import resource, runpy, sys\n"
+        "sys.argv = ['mercat2_tpu.cli'] + sys.argv[1:]\n"
+        "try:\n"
+        "    runpy.run_module('mercat2_tpu.cli', run_name='__main__')\n"
+        "except SystemExit as e:\n"
+        "    assert not e.code, e.code\n"
+        "rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss\n"
+        "print(f'PIPESELFRSS {rss}')\n"
+    )
     p = subprocess.run(
-        [sys.executable, "-c", code, sys.executable, "-m",
-         "mercat2_tpu.cli", "-k", "5", "-f", str(DATA_NT),
+        [sys.executable, "-c", code, sys.executable, "-c", inner,
+         "-k", "5", "-f", str(DATA_NT),
          "-o", "/tmp/mercat2_bench_pipeline", "-replace", "-pca", "-prod",
          "-fgs", "-s", "10"],
         capture_output=True, text=True,
@@ -210,19 +225,25 @@ def _pipeline_cold_once() -> tuple[float, float]:
     assert p.returncode == 0, (p.stdout[-1000:], p.stderr[-2000:])
     line = [l for l in p.stdout.splitlines() if l.startswith("BENCHWALL")][-1]
     _, wall, rss_kb = line.split()
-    return float(wall), float(rss_kb) / 1024.0
+    self_line = [l for l in p.stdout.splitlines()
+                 if l.startswith("PIPESELFRSS")]
+    self_mb = float(self_line[-1].split()[1]) / 1024.0 if self_line else 0.0
+    return float(wall), float(rss_kb) / 1024.0, self_mb
 
 
 def _pipeline_cold():
     """Median cold wall + max-RSS over N subprocess runs (each printed)."""
-    walls, rsss = [], []
+    walls, rsss, selfs = [], [], []
     for i in range(N_COLD_PIPELINE):
-        wall, rss = _pipeline_cold_once()
+        wall, rss, self_mb = _pipeline_cold_once()
         walls.append(wall)
         rsss.append(rss)
+        selfs.append(self_mb)
         print(f"# cold pipeline run {i + 1}/{N_COLD_PIPELINE}: "
-              f"{wall:.1f}s rss {rss:.0f} MB", file=sys.stderr)
-    return statistics.median(walls), statistics.median(rsss), walls
+              f"{wall:.1f}s rss {rss:.0f} MB "
+              f"(python process itself {self_mb:.0f} MB)", file=sys.stderr)
+    return (statistics.median(walls), statistics.median(rsss), walls,
+            statistics.median(selfs))
 
 
 def _pipeline_warm() -> float:
@@ -262,7 +283,7 @@ def main() -> None:
 
     # cold pipeline first: the subprocesses must own the (single-tenant)
     # TPU before this process initializes it
-    cold_wall, pipe_rss, cold_walls = _pipeline_cold()
+    cold_wall, pipe_rss, cold_walls, pipe_self_rss = _pipeline_cold()
 
     # sustained fresh-process medians next (still before this process
     # touches the TPU — each subprocess owns the chip during its run)
@@ -320,8 +341,11 @@ def main() -> None:
           f"median {cold_wall:.1f} s of {cold_walls} "
           f"(ref {BASELINE_PIPELINE_S:.1f} s -> "
           f"{BASELINE_PIPELINE_S / cold_wall:.2f}x, incl. per-process XLA "
-          f"compiles), max RSS {pipe_rss:.0f} MB "
-          f"(ref {BASELINE_PIPELINE_RSS_KB / 1024:.0f} MB); WARM in-process "
+          f"compiles), max RSS {pipe_rss:.0f} MB tree-wide / "
+          f"{pipe_self_rss:.0f} MB python process (ref {BASELINE_PIPELINE_RSS_KB / 1024:.0f} MB "
+          f"measured on its driver only — its Ray-worker FGS/pyrodigal "
+          f"memory was invisible to `time -v`; the vendored FragGeneScanRs "
+          f"binary alone peaks at ~1.2 GB on the largest genome); WARM in-process "
           f"{pipe_wall:.1f} s ({BASELINE_PIPELINE_S / pipe_wall:.2f}x); "
           f"bench max RSS {self_rss:.0f} MB", file=e)
 

@@ -844,7 +844,12 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
             from mercat2_tpu.orf import orf_call
 
             items = list(samples["nucleotide"].items())
-            with ThreadPoolExecutor(max_workers=workers) as pool:
+            # cap fan-out: each FragGeneScanRs subprocess peaks >1 GB on a
+            # multi-Mbp genome, so unbounded file-parallelism multiplies
+            # transient RSS (the gene-model caller is numpy-bound and
+            # profits little beyond a few threads either way)
+            fan = min(workers or 4, 4)
+            with ThreadPoolExecutor(max_workers=fan) as pool:
                 rets = pool.map(
                     lambda bf: orf_call(bf[0], bf[1][0], outdir, engine=engine),
                     items,
