@@ -307,7 +307,8 @@ def fetch_tables(pendings: list) -> list[KmerTable]:
     seen: set[int] = set()
     for p in pendings:
         m = getattr(p, "_multi", p)
-        if (isinstance(m, (_PendingSegments, _PendingPacked))
+        if (isinstance(m, (_PendingSegments, _PendingPacked,
+                           _PendingDenseSegments))
                 and m._tables is None and id(m) not in seen):
             seen.add(id(m))
             seg_groups.append(m)
@@ -574,16 +575,24 @@ class _PendingDenseSegments:
         for h in self._hists:
             _async_to_host(h)
 
+    def _fetch_arrays(self) -> tuple:
+        """Device arrays one host roundtrip resolves (see fetch_tables)."""
+        return tuple(self._hists)
+
+    def _fetch_all(self, fetched=None) -> None:
+        from mercat2_tpu.ops.mxu_hist import decode_dense_histogram
+
+        if fetched is None:
+            fetched = jax.device_get(tuple(self._hists))
+        self._tables = [
+            decode_dense_histogram(h, self._c.k, self._c.codec,
+                                   self._min_count)
+            for h in fetched
+        ]
+
     def row_table(self, row: int) -> KmerTable:
         if self._tables is None:
-            from mercat2_tpu.ops.mxu_hist import decode_dense_histogram
-
-            fetched = jax.device_get(tuple(self._hists))
-            self._tables = [
-                decode_dense_histogram(h, self._c.k, self._c.codec,
-                                       self._min_count)
-                for h in fetched
-            ]
+            self._fetch_all()
         return self._tables[row]
 
 
