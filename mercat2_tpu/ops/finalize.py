@@ -340,32 +340,57 @@ def count_kmers_packed(
     (per-file fid-tagged sort keys, per-file min-count, reference semantics
     /root/reference/lib/mercat2_kmers.py:73-76).
     """
-    codes = unpack_codes(packed, bits, n_sym)
     p = n_sym - k + 1
     valid = packed_window_validity(gap_begin, gap_end, k, p)
-    payload = pack_kmer_words(codes, k, bits)
+    _, tiebreak = key_words_for(k, bits)
+    mode, shift = (None, 0) if n_files == 1 else fid_layout(k, bits, n_files)
+
+    # Mosaic fused unpack/rolling-pack/mask key build when available (one
+    # HBM pass; the XLA op chain costs ~10 ms more per 8.4M windows). The
+    # embedded fid ORs into the masked word 0 afterwards — invalid rows
+    # are already all-ones, and ONES | x == ONES. The "word" fid mode
+    # (no spare bits in word 0) keeps the XLA build.
+    use_pallas = False
+    if bits in (1, 2, 4) and 2 <= k <= 129 and mode != "word":
+        from mercat2_tpu.ops.pallas_finalize import pallas_ok
+
+        use_pallas = pallas_ok()
 
     strip_tail = 0
-    if n_files == 1:
-        total_words, tiebreak = key_words_for(k, bits)
-        keyed = [jnp.where(valid, w, _ONES32) for w in payload]
-        if tiebreak:
-            keyed.append(jnp.where(valid, jnp.uint32(0), _ONES32))
-            strip_tail = 1
+    if use_pallas:
+        from mercat2_tpu.ops.pallas_finalize import build_keys_pallas
+
+        keyed = list(build_keys_pallas(
+            packed, valid.astype(jnp.uint8), k=k, bits=bits, p=p,
+        ))
+        strip_tail = int(tiebreak) if n_files == 1 else 0
+        if n_files > 1:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+            fid = (
+                jnp.searchsorted(file_starts, pos, side="right")
+                .astype(jnp.uint32) - 1
+            )
+            keyed[0] = keyed[0] | (fid << shift)
     else:
-        pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
-        fid = (
-            jnp.searchsorted(file_starts, pos, side="right").astype(jnp.uint32)
-            - 1
-        )
-        mode, shift = fid_layout(k, bits, n_files)
-        if mode == "embedded":
-            payload = [payload[0] | (fid << shift)] + payload[1:]
+        codes = unpack_codes(packed, bits, n_sym)
+        payload = pack_kmer_words(codes, k, bits)
+        if n_files == 1:
             keyed = [jnp.where(valid, w, _ONES32) for w in payload]
+            if tiebreak:
+                keyed.append(jnp.where(valid, jnp.uint32(0), _ONES32))
+                strip_tail = 1
         else:
-            keyed = [jnp.where(valid, fid, _ONES32)]
-            keyed += [jnp.where(valid, w, _ONES32) for w in payload]
-        total_words = len(keyed)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+            fid = (
+                jnp.searchsorted(file_starts, pos, side="right")
+                .astype(jnp.uint32) - 1
+            )
+            if mode == "embedded":
+                payload = [payload[0] | (fid << shift)] + payload[1:]
+                keyed = [jnp.where(valid, w, _ONES32) for w in payload]
+            else:
+                keyed = [jnp.where(valid, fid, _ONES32)]
+                keyed += [jnp.where(valid, w, _ONES32) for w in payload]
 
     n_valid = jnp.sum(valid, dtype=jnp.int32)
     return _sort_and_finalize(keyed, n_valid, min_count, cap, strip_tail)
