@@ -59,7 +59,7 @@ BASELINE_PIPELINE_S = 161.31  # ref full pipeline, fna_gz-10 block
 BASELINE_PIPELINE_RSS_KB = 250_320
 
 N_COLD_PIPELINE = int(os.environ.get("BENCH_COLD_PIPE_RUNS", "3"))
-N_SUSTAIN_PROCS = int(os.environ.get("BENCH_SUSTAIN_PROCS", "3"))
+N_SUSTAIN_PROCS = int(os.environ.get("BENCH_SUSTAIN_PROCS", "5"))
 N_SUSTAIN_RUNS = int(os.environ.get("BENCH_SUSTAIN_RUNS", "3"))
 
 
