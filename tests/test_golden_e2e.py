@@ -108,3 +108,75 @@ def test_golden_tree_faa(tmp_path):
     assert list(ours.index) == list(oracle.index)
     assert list(ours.columns) == SAMPLES_FAA
     assert np.array_equal(ours.values, oracle.values)
+
+
+def test_golden_chunked_nucleotide_counts(tmp_path):
+    """-s 1 forces real chunking (files > 1 MB split at record boundaries,
+    original skipped, min-count applied PER CHUNK before the merge — the
+    reference's documented undercount semantics, README.md:207 and
+    bin/mercat2.py:101-137). Byte-compares the per-sample count TSVs
+    against the golden fna-5genomes-1 tree."""
+    from mercat2_tpu.pipeline import PipelineConfig, run_pipeline
+
+    out = tmp_path / "tree1"
+    run_pipeline(PipelineConfig(
+        kmer=5, input_folder=str(DATA / "5-genomes-fna"), min_count=10,
+        chunk_size_mb=1, output=str(out),
+    ))
+    # this checkout strips the two largest plain-text genomes (DJ, Rleg —
+    # see /root/reference/.MISSING_LARGE_BLOBS); per-sample tables are
+    # independent, so the remaining three still pin the chunked semantics
+    samples = sorted(
+        p.name.removesuffix(".fna")
+        for p in (DATA / "5-genomes-fna").glob("*.fna")
+    )
+    assert samples, "no plain fna inputs present"
+    for s in samples:
+        got = (out / "tsv_nucleotide" / f"{s}_counts.tsv").read_bytes()
+        want = (
+            GOLD / "fna-5genomes-1" / "tsv_nucleotide" / f"{s}_counts.tsv"
+        ).read_bytes()
+        assert got == want, f"{s}: chunked counts differ from golden"
+
+
+def test_golden_single_file_chunked(tmp_path):
+    """Single-file `-i` runs with -s 1 (reference run-tests.sh:21-24).
+
+    Golden tree names are misleading: `faa-DJ_gz-1` came from the PLAIN
+    faa (chunked: 2.2 MB >= 1 MB), while the gz faa input (1,042,154
+    bytes — just under the 1 MiB chunk gate, so NOT chunked) produced
+    `DJ_gz-1`. Both semantics are pinned byte-identically, plus the
+    chunked gz nucleotide run (DJ.fna.gz, 6 chunks)."""
+    from mercat2_tpu.pipeline import PipelineConfig, run_pipeline
+
+    out_nt = tmp_path / "nt"
+    run_pipeline(PipelineConfig(
+        kmer=5, input_files=[str(DATA / "5-genomes-fna_gz" / "DJ.fna.gz")],
+        min_count=10, chunk_size_mb=1, output=str(out_nt),
+    ))
+    got = (out_nt / "tsv_nucleotide" / "DJ_counts.tsv").read_bytes()
+    want = (GOLD / "fna-DJ_gz-1" / "tsv_nucleotide" / "DJ_counts.tsv"
+            ).read_bytes()
+    assert got == want
+
+    out_aa = tmp_path / "aa"  # plain faa: chunked, per-chunk filter
+    run_pipeline(PipelineConfig(
+        kmer=5,
+        input_files=[str(DATA / "5-genomes-faa" / "DJ_pro.faa")],
+        min_count=10, chunk_size_mb=1, output=str(out_aa),
+    ))
+    got = (out_aa / "tsv_protein" / "DJ_pro_counts.tsv").read_bytes()
+    want = (GOLD / "faa-DJ_gz-1" / "tsv_protein" / "DJ_pro_counts.tsv"
+            ).read_bytes()
+    assert got == want
+
+    out_gz = tmp_path / "aagz"  # gz faa: below the chunk gate, unchunked
+    run_pipeline(PipelineConfig(
+        kmer=5,
+        input_files=[str(DATA / "5-genomes-faa_gz" / "DJ_pro.faa.gz")],
+        min_count=10, chunk_size_mb=1, output=str(out_gz),
+    ))
+    got = (out_gz / "tsv_protein" / "DJ_pro_counts.tsv").read_bytes()
+    want = (GOLD / "DJ_gz-1" / "tsv_protein" / "DJ_pro_counts.tsv"
+            ).read_bytes()
+    assert got == want
