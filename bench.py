@@ -160,7 +160,11 @@ def _sustained_subprocess() -> str:
 
 
 def _sustained_fresh_process_median():
-    """Pooled median over every run of N fresh subprocesses."""
+    """Pooled median over every run of N fresh subprocesses.
+
+    A crashed subprocess is reported and skipped (the pooled median over
+    the surviving processes still stands); only zero survivors aborts.
+    """
     pooled = []
     bases = kmers = 0
     for i in range(N_SUSTAIN_PROCS):
@@ -170,13 +174,17 @@ def _sustained_fresh_process_median():
             capture_output=True, text=True,
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("{")]
-        assert p.returncode == 0 and line, (p.stdout[-500:], p.stderr[-800:])
+        if p.returncode != 0 or not line:
+            print(f"# sustained proc {i + 1}/{N_SUSTAIN_PROCS} FAILED "
+                  f"rc={p.returncode}: {p.stderr[-300:]!r}", file=sys.stderr)
+            continue
         rec = json.loads(line[-1])
         pooled.extend(rec["runs_s"])
         bases, kmers = rec["bases"], rec["kmers"]
         print(f"# sustained proc {i + 1}/{N_SUSTAIN_PROCS}: "
               f"median {rec['median_s']:.3f}s runs {rec['runs_s']}",
               file=sys.stderr)
+    assert pooled, "every sustained subprocess failed"
     return bases, kmers, statistics.median(pooled), pooled
 
 
@@ -232,16 +240,23 @@ def _pipeline_cold_once() -> tuple[float, float]:
 
 
 def _pipeline_cold():
-    """Median cold wall + max-RSS over N subprocess runs (each printed)."""
+    """Median cold wall + max-RSS over N subprocess runs (each printed).
+    Failed runs are reported and skipped; zero successes aborts."""
     walls, rsss, selfs = [], [], []
     for i in range(N_COLD_PIPELINE):
-        wall, rss, self_mb = _pipeline_cold_once()
+        try:
+            wall, rss, self_mb = _pipeline_cold_once()
+        except AssertionError as e:
+            print(f"# cold pipeline run {i + 1}/{N_COLD_PIPELINE} FAILED: "
+                  f"{str(e)[:300]!r}", file=sys.stderr)
+            continue
         walls.append(wall)
         rsss.append(rss)
         selfs.append(self_mb)
         print(f"# cold pipeline run {i + 1}/{N_COLD_PIPELINE}: "
               f"{wall:.1f}s rss {rss:.0f} MB "
               f"(python process itself {self_mb:.0f} MB)", file=sys.stderr)
+    assert walls, "every cold pipeline run failed"
     return (statistics.median(walls), statistics.median(rsss), walls,
             statistics.median(selfs))
 
