@@ -258,3 +258,19 @@ def test_large_k_stays_on_device(k):
     got2 = _count(recs, k, min_count=2)
     want2 = {km: c for km, c in naive_kmers(recs, k).items() if c >= 2}
     assert got2 == want2
+
+
+@pytest.mark.parametrize("k", [7, 8, 12])
+def test_protein_two_word_keys(k):
+    """5-bit protein keys spanning two words take the fused-u64 sort path;
+    exact vs the naive oracle, with and without min-count."""
+    rng = random.Random(k)
+    aas = "ACDEFGHIKLMNPQRSTVWYXBZ"
+    recs = ["".join(rng.choice(aas) for _ in range(rng.randint(40, 200)))
+            for _ in range(8)]
+    recs += recs[:2]
+    got = _count(recs, k)
+    assert got == naive_kmers(recs, k)
+    got2 = _count(recs, k, min_count=2)
+    want2 = {km: c for km, c in naive_kmers(recs, k).items() if c >= 2}
+    assert got2 == want2
