@@ -190,8 +190,27 @@ def _build_stream(path, counter: KmerCounter, bucket: int | None, nf=None):
 _PREWARMS: dict[tuple, threading.Thread] = {}
 
 
+#: serializes speculative compiles: two uniform programs compiling
+#: concurrently double the transient XLA compile-arena RSS (the cold
+#: pipeline's peak) for little wall-clock gain on a 2-core host
+_PREWARM_LOCK = threading.Lock()
+
+
 def _prewarm_uniform(k: int, codec, min_count: int,
                      family: int | None) -> None:
+    import numpy as np
+
+    from mercat2_tpu.engine.counter import KmerCounter, NumpySource
+
+    try:
+        with _PREWARM_LOCK:
+            _prewarm_uniform_locked(k, codec, min_count, family)
+    except Exception:  # pragma: no cover - speculative; real path reports
+        pass
+
+
+def _prewarm_uniform_locked(k: int, codec, min_count: int,
+                            family: int | None) -> None:
     import numpy as np
 
     from mercat2_tpu.engine.counter import KmerCounter, NumpySource
