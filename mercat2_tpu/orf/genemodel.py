@@ -400,7 +400,6 @@ def call_genes(model: GeneModel, seq_bytes: np.ndarray) -> list[Gene]:
 
 def _gene_dicodons(codes: np.ndarray, g: Gene) -> np.ndarray:
     """In-frame dicodon indices of one called gene (invalid ones dropped)."""
-    n = codes.shape[0]
     sl = codes[g.start - 1 : g.end]
     if g.strand < 0:
         sl = _COMP_LUT[sl[::-1]]

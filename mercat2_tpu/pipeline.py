@@ -204,26 +204,14 @@ def _prewarm_uniform(k: int, codec, min_count: int,
 
     try:
         with _PREWARM_LOCK:
-            _prewarm_uniform_locked(k, codec, min_count, family)
-    except Exception:  # pragma: no cover - speculative; real path reports
-        pass
-
-
-def _prewarm_uniform_locked(k: int, codec, min_count: int,
-                            family: int | None) -> None:
-    import numpy as np
-
-    from mercat2_tpu.engine.counter import KmerCounter, NumpySource
-
-    try:
-        counter = KmerCounter(k, codec)
-        seq = np.tile(codec.symbols[: min(4, codec.size)], max(k, 8))
-        src = NumpySource(seq, np.zeros(seq.shape[0], np.int64), codec)
-        pendings = counter.dispatch_packed_uniform(
-            [src], min_count, family=family
-        )
-        for p in pendings or []:
-            p.table()
+            counter = KmerCounter(k, codec)
+            seq = np.tile(codec.symbols[: min(4, codec.size)], max(k, 8))
+            src = NumpySource(seq, np.zeros(seq.shape[0], np.int64), codec)
+            pendings = counter.dispatch_packed_uniform(
+                [src], min_count, family=family
+            )
+            for p in pendings or []:
+                p.table()
     except Exception:  # pragma: no cover - speculative; real path reports
         pass
 
