@@ -125,3 +125,26 @@ def test_output_dir_protection(tmp_path, ref_data):
     with pytest.raises(SystemExit):
         main(["-k", "4", "-i", str(ref_data / "simka_test_data" / "A.fasta"),
               "-o", str(out)])
+
+
+def test_pipeline_simka_multisample(tmp_path, ref_data):
+    """The bundled simka_test_data read set (5 small multi-record FASTAs)
+    through the full pipeline with PCA: one count table per sample, a
+    combined matrix with 5 sample columns, and pca.tsv present."""
+    from mercat2_tpu.pipeline import PipelineConfig, run_pipeline
+
+    folder = ref_data / "simka_test_data"
+    if not folder.exists():
+        import pytest
+
+        pytest.skip("simka fixture absent")
+    out = tmp_path / "simka"
+    run_pipeline(PipelineConfig(
+        kmer=4, input_folder=str(folder), min_count=1, chunk_size_mb=10,
+        pca=True, output=str(out),
+    ))
+    tsvs = sorted((out / "tsv_nucleotide").glob("*_counts.tsv"))
+    assert len(tsvs) == 5, [t.name for t in tsvs]
+    header = (out / "combined_Nucleotide.tsv").read_text().splitlines()[0]
+    assert len(header.split("\t")) == 6  # k-mer + 5 samples
+    assert (out / "pca_Nucleotide" / "pca.tsv").exists()
