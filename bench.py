@@ -147,6 +147,29 @@ def _median_of(files: list[Path], k: int, runs: int = 3, label: str = ""):
     return total, n, statistics.median(dts), dts
 
 
+def _h2d_mb_per_s() -> float:
+    """Median h2d throughput for one 16 MB incompressible buffer.
+
+    The sustained config ships ~53 MB of 2-bit-packed bases per run, so
+    on tunneled single-chip setups the link speed (measured swinging
+    12-43 ms/MB between sessions) sets the e2e floor; recording it beside
+    the sustained number says which regime the run landed in.
+    """
+    import jax
+    import numpy as np
+
+    buf = np.random.default_rng(0).integers(
+        0, 1 << 32, 4 << 20, dtype=np.uint64
+    ).astype(np.uint32)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a = jax.device_put(buf)
+        jax.device_get(a[:1])
+        times.append(time.perf_counter() - t0)
+    return 16.0 / statistics.median(times)
+
+
 def _sustained_subprocess() -> str:
     """One fresh-process sustained measurement; prints its median line."""
     files = _stage_sustained()
@@ -155,6 +178,7 @@ def _sustained_subprocess() -> str:
     print(json.dumps({
         "bases": total, "kmers": n, "median_s": round(med, 3),
         "runs_s": [round(d, 3) for d in dts],
+        "h2d_mb_s": round(_h2d_mb_per_s(), 1),
     }))
     return ""
 
@@ -182,7 +206,8 @@ def _sustained_fresh_process_median():
         pooled.extend(rec["runs_s"])
         bases, kmers = rec["bases"], rec["kmers"]
         print(f"# sustained proc {i + 1}/{N_SUSTAIN_PROCS}: "
-              f"median {rec['median_s']:.3f}s runs {rec['runs_s']}",
+              f"median {rec['median_s']:.3f}s runs {rec['runs_s']} "
+              f"(link h2d {rec.get('h2d_mb_s', 0):.0f} MB/s)",
               file=sys.stderr)
     assert pooled, "every sustained subprocess failed"
     return bases, kmers, statistics.median(pooled), pooled
