@@ -137,3 +137,81 @@ def test_pipeline_uniform_single_device(monkeypatch, tmp_path):
                 km, c = line.split()
                 got[km] = int(c)
         assert got == exp
+
+
+def test_pipeline_wave_salvage_falls_back(monkeypatch, tmp_path):
+    """If dispatch_packed_uniform bails mid-round (rare mixed dense/sort
+    shape edge), the wave loop salvages already-built sources into the
+    adaptive path and results stay exact."""
+    from mercat2_tpu.engine.counter import count_file
+    from mercat2_tpu.pipeline import PipelineConfig, run_pipeline
+
+    calls = {"n": 0}
+    orig = KmerCounter.dispatch_packed_uniform
+
+    def flaky(self, sources, min_count=1, workers=None, family=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None  # first wave bails -> salvage to adaptive
+        return orig(self, sources, min_count, workers, family)
+
+    monkeypatch.setattr(KmerCounter, "dispatch_packed_uniform", flaky)
+    rng = np.random.default_rng(3)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for name in ("a", "b", "c"):
+        lines = []
+        for r in range(10):
+            seq = rng.choice(list("ACGT"), size=rng.integers(60, 200))
+            lines.append(f">{name}{r}")
+            lines.append("".join(seq))
+        (indir / f"{name}.fna").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "res"
+    run_pipeline(PipelineConfig(
+        kmer=4, input_folder=str(indir), min_count=2, chunk_size_mb=0,
+        output=str(out), skipclean=True, mesh="off",
+    ))
+    assert calls["n"] >= 1
+    for name in ("a", "b", "c"):
+        exp = count_file(indir / f"{name}.fna", 4, 2).to_dict()
+        got = {}
+        with open(out / "tsv_nucleotide" / f"{name}_counts.tsv") as f:
+            f.readline()
+            for line in f:
+                km, c = line.split()
+                got[km] = int(c)
+        assert got == exp, name
+
+
+def test_pipeline_oversized_file_mixes_with_uniform(monkeypatch, tmp_path):
+    """A file exceeding the uniform cap routes to the adaptive path while
+    the fitting files keep the uniform program; all tables exact."""
+    from mercat2_tpu.engine.counter import count_file
+    from mercat2_tpu.pipeline import PipelineConfig, run_pipeline
+
+    monkeypatch.setattr(KmerCounter, "_UNIFORM_SYMS", 1 << 12)
+    monkeypatch.setattr(KmerCounter, "_UNIFORM_FAMILIES", (1 << 12,))
+    monkeypatch.setattr(KmerCounter, "_UNIFORM_GAPS", 1 << 9)
+    rng = np.random.default_rng(5)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    small = "".join(rng.choice(list("ACGT"), size=800))
+    big = "".join(rng.choice(list("ACGT"), size=20_000))  # > 2^12 symbols
+    (indir / "small.fna").write_text(f">s\n{small}\n")
+    (indir / "big.fna").write_text(f">b\n{big}\n")
+
+    out = tmp_path / "res"
+    run_pipeline(PipelineConfig(
+        kmer=4, input_folder=str(indir), min_count=2, chunk_size_mb=0,
+        output=str(out), skipclean=True, mesh="off",
+    ))
+    for name in ("small", "big"):
+        exp = count_file(indir / f"{name}.fna", 4, 2).to_dict()
+        got = {}
+        with open(out / "tsv_nucleotide" / f"{name}_counts.tsv") as f:
+            f.readline()
+            for line in f:
+                km, c = line.split()
+                got[km] = int(c)
+        assert got == exp, name
