@@ -48,11 +48,13 @@ def _sort_fused_u64(keyed: list) -> jax.Array:
     (pack_kmer_words layout), so ``(w0 << 32) | w1`` preserves the
     lexicographic order of the (w0, w1) tuple, including the all-ones
     invalid marker (which becomes all-ones u64, still sorting last).
-    Measured on the bench chip, an 8.4M-row single-u64 ``lax.sort`` costs
-    ~23 ms vs ~46 ms for the equivalent two-operand u32 sort (XLA's
-    variadic sort moves every operand through every merge stage), and the
-    1-operand program compiles several times faster — which matters on
-    backends that recompile per process. Must be traced inside
+    Measured on the bench chip (clean single-roundtrip timing, NOTES_r5),
+    the fused sort is device-time-neutral vs the two-operand u32 sort when
+    embedded in the full count program, but the 1-sort-key program
+    compiles several times faster — which matters on backends that
+    recompile per process — and the u64-direct finalize
+    (:func:`_finalize_sorted_u64`) avoids both the split pass and the
+    generic run-length chain. Must be traced inside
     ``jax.enable_x64(True)``; only this subsection of the program uses
     64-bit types, all inputs/outputs stay u32/i32.
     """
