@@ -190,12 +190,6 @@ def _build_stream(path, counter: KmerCounter, bucket: int | None, nf=None):
 _PREWARMS: dict[tuple, threading.Thread] = {}
 
 
-#: serializes speculative compiles: two uniform programs compiling
-#: concurrently double the transient XLA compile-arena RSS (the cold
-#: pipeline's peak) for little wall-clock gain on a 2-core host
-_PREWARM_LOCK = threading.Lock()
-
-
 def _prewarm_uniform(k: int, codec, min_count: int,
                      family: int | None) -> None:
     import numpy as np
@@ -203,15 +197,14 @@ def _prewarm_uniform(k: int, codec, min_count: int,
     from mercat2_tpu.engine.counter import KmerCounter, NumpySource
 
     try:
-        with _PREWARM_LOCK:
-            counter = KmerCounter(k, codec)
-            seq = np.tile(codec.symbols[: min(4, codec.size)], max(k, 8))
-            src = NumpySource(seq, np.zeros(seq.shape[0], np.int64), codec)
-            pendings = counter.dispatch_packed_uniform(
-                [src], min_count, family=family
-            )
-            for p in pendings or []:
-                p.table()
+        counter = KmerCounter(k, codec)
+        seq = np.tile(codec.symbols[: min(4, codec.size)], max(k, 8))
+        src = NumpySource(seq, np.zeros(seq.shape[0], np.int64), codec)
+        pendings = counter.dispatch_packed_uniform(
+            [src], min_count, family=family
+        )
+        for p in pendings or []:
+            p.table()
     except Exception:  # pragma: no cover - speculative; real path reports
         pass
 
