@@ -1286,6 +1286,21 @@ class KmerCounter:
                 return f
         return self._UNIFORM_SYMS if need <= self._UNIFORM_SYMS else None
 
+    #: gap-slot families, smallest first: padded to the full 2^17 the two
+    #: gap arrays cost ~1 MB of h2d per launch — ~25% of the sustained
+    #: wire bytes on genome inputs that use a few dozen slots. Contig
+    #: rounds fit 2^12, ORF protein rounds (one gap per gene) 2^14; reads
+    #: data keeps the full bound.
+    _UNIFORM_GAP_FAMILIES = (1 << 12, 1 << 14, 1 << 17)
+
+    def _uniform_gap_family(self, gapbs: list[int]) -> int | None:
+        """Smallest gap-slot family every file's gap bound fits alone."""
+        need = max(gapbs, default=0) + 2
+        for f in self._UNIFORM_GAP_FAMILIES:
+            if f < self._UNIFORM_GAPS and need <= f:
+                return f
+        return self._UNIFORM_GAPS if need <= self._UNIFORM_GAPS else None
+
     def _uniform_n_sym(self, syms: int | None = None) -> int:
         per = 32 // self.codec.bits
         return -(-(syms or self._UNIFORM_SYMS) // per) * per
@@ -1333,7 +1348,7 @@ class KmerCounter:
 
     def _dispatch_uniform_dense(
         self, sources: list, min_count: int, workers: int | None = None,
-        family: int | None = None,
+        family: int | None = None, gap_family: int | None = None,
     ) -> list[PendingCount] | None:
         """Fixed-shape MXU-histogram launches (small keyspaces).
 
@@ -1357,8 +1372,12 @@ class KmerCounter:
         family = min(max(family or 0, fam_auto), self._UNIFORM_SYMS)
         n_sym = self._uniform_n_sym(family)
         slots = self._UNIFORM_DENSE_SLOTS
-        if any(self._gap_bound(s) > self._UNIFORM_GAPS // slots - 2
-               for s in sources):
+        gapbs = [self._gap_bound(s) for s in sources]
+        gf_auto = self._uniform_gap_family([b * slots for b in gapbs])
+        if gf_auto is None:
+            return None
+        gap_family = min(max(gap_family or 0, gf_auto), self._UNIFORM_GAPS)
+        if any(b > gap_family // slots - 2 for b in gapbs):
             return None
         seg_words = tuple(
             (i * (n_sym // per), (i + 1) * (n_sym // per))
@@ -1398,7 +1417,7 @@ class KmerCounter:
                 ge.append(np.asarray([off + n_sym], np.int64))
             gap_begin = np.concatenate(gb)
             gap_end = np.concatenate(ge)
-            pad = self._UNIFORM_GAPS - gap_begin.shape[0]
+            pad = gap_family - gap_begin.shape[0]
             gap_begin = np.concatenate([gap_begin, np.full(pad, noop)])
             gap_end = np.concatenate([gap_end, np.full(pad, noop)])
 
@@ -1436,28 +1455,28 @@ class KmerCounter:
 
     def dispatch_packed_uniform(
         self, sources: list, min_count: int = 1, workers: int | None = None,
-        family: int | None = None,
+        family: int | None = None, gap_family: int | None = None,
     ) -> list[PendingCount] | None:
         """Count all sources through ONE compiled program shape.
 
         Files are greedy-packed into fixed-symbol fid-tagged transport
-        buffers (<= 32 files, <= 2^17 gap ranges each; the symbol count is
-        the smallest _UNIFORM_FAMILIES entry every source fits) and every
-        buffer runs the SAME compiled ``count_kmers_packed`` program — the
-        count path for pipeline runs, where program-compile count dominates
-        wall time (cold XLA compiles cost 15-100 s each on tunneled
-        backends and per-process caching is unavailable; see NOTES_r4).
-        Small keyspaces route to the sort-free dense sibling
-        (:meth:`_dispatch_uniform_dense`), whose program compiles several
-        times faster. Returns one PendingCount per source, or None when
-        some source does not fit the fixed shape (caller falls back to the
-        adaptive-shape dispatchers).
+        buffers (<= 32 files; the symbol and gap-slot counts are the
+        smallest _UNIFORM_FAMILIES / _UNIFORM_GAP_FAMILIES entries every
+        source fits) and every buffer runs the SAME compiled
+        ``count_kmers_packed`` program — the count path for pipeline runs,
+        where program-compile count dominates wall time (cold XLA compiles
+        cost 15-100 s each on tunneled backends and per-process caching is
+        unavailable; see NOTES_r4). Small keyspaces route to the sort-free
+        dense sibling (:meth:`_dispatch_uniform_dense`), whose program
+        compiles several times faster. Returns one PendingCount per
+        source, or None when some source does not fit the fixed shape
+        (caller falls back to the adaptive-shape dispatchers).
         """
         from mercat2_tpu.ops.mxu_hist import MXU_MAX_BINS
 
         if self._DENSE_SMALL_K and self._keyspace() <= MXU_MAX_BINS:
             dense = self._dispatch_uniform_dense(
-                sources, min_count, workers, family
+                sources, min_count, workers, family, gap_family
             )
             if dense is not None:
                 return dense
@@ -1465,21 +1484,23 @@ class KmerCounter:
         per = 32 // self.codec.bits
         lens = [s.packed_len(gap) for s in sources]
         gapb = [self._gap_bound(s) for s in sources]
-        # a caller-pinned family (from prewarm / round-level size estimates)
-        # is upgraded, never trusted blindly: every source must fit
+        # caller-pinned families (from prewarm / round-level estimates)
+        # are upgraded, never trusted blindly: every source must fit
         fam_auto = self._uniform_family(lens)
         if fam_auto is None:  # exceeds the largest family -> adaptive path
             return None
         family = min(max(family or 0, fam_auto), self._UNIFORM_SYMS)
         n_sym = self._uniform_n_sym(family)
+        gf_auto = self._uniform_gap_family(gapb)
+        if gf_auto is None:
+            return None
+        gap_family = min(max(gap_family or 0, gf_auto), self._UNIFORM_GAPS)
         # word-aligned usable capacity mirrors build_packed_group layout:
         # each file's segment is padded to whole words plus one gap symbol.
         # Capped at the family size exactly (not the word-rounded n_sym) so
         # the content total always buckets to <= n_sym inside
         # build_packed_group.
         usable = family
-        if any(b > self._UNIFORM_GAPS - 2 for b in gapb):
-            return None
 
         groups: list[list[int]] = []
         cur: list[int] = []
@@ -1489,7 +1510,7 @@ class KmerCounter:
             if cur and (
                 cur_sym + seg > usable
                 or len(cur) >= self._UNIFORM_FILES
-                or cur_gaps + b > self._UNIFORM_GAPS - 2
+                or cur_gaps + b > gap_family - 2
             ):
                 groups.append(cur)
                 cur, cur_sym, cur_gaps = [], 0, 0
@@ -1504,7 +1525,7 @@ class KmerCounter:
             subset = [sources[i] for i in g]
             built = self.build_packed_group(
                 subset, bucket=n_sym, workers=workers,
-                gap_slots=self._UNIFORM_GAPS,
+                gap_slots=gap_family,
             )
             if built is None:
                 for i in g:

@@ -23,6 +23,7 @@ prepares the next file). No Ray, no object store — arrays flow in memory.
 from __future__ import annotations
 
 import dataclasses
+import gzip
 import shutil
 import threading
 import time
@@ -191,7 +192,7 @@ _PREWARMS: dict[tuple, threading.Thread] = {}
 
 
 def _prewarm_uniform(k: int, codec, min_count: int,
-                     family: int | None) -> None:
+                     family: int | None, gap_family: int | None) -> None:
     import numpy as np
 
     from mercat2_tpu.engine.counter import KmerCounter, NumpySource
@@ -201,7 +202,7 @@ def _prewarm_uniform(k: int, codec, min_count: int,
         seq = np.tile(codec.symbols[: min(4, codec.size)], max(k, 8))
         src = NumpySource(seq, np.zeros(seq.shape[0], np.int64), codec)
         pendings = counter.dispatch_packed_uniform(
-            [src], min_count, family=family
+            [src], min_count, family=family, gap_family=gap_family
         )
         for p in pendings or []:
             p.table()
@@ -210,7 +211,7 @@ def _prewarm_uniform(k: int, codec, min_count: int,
 
 
 def _start_prewarm(k: int, codec, min_count: int,
-                   syms_hint: int = 0) -> None:
+                   syms_hint: int = 0, gaps_hint: int = 0) -> None:
     """Compile the uniform count program for (k, codec) in the background.
 
     Distinct XLA programs cost 15-100 s each to compile on tunneled TPU
@@ -218,16 +219,20 @@ def _start_prewarm(k: int, codec, min_count: int,
     two known program families off as soon as the input mix is known —
     overlapping the compile with host-side load / clean / ORF stages. The
     count stage joins the matching thread before dispatching. ``syms_hint``
-    (estimated max symbols per file) picks the size family to compile.
+    (estimated max symbols per file) and ``gaps_hint`` (estimated max
+    records per file) pick the size and gap-slot families to compile.
     """
     key = (k, codec.bits, codec.size)
     if key in _PREWARMS:
         return
     from mercat2_tpu.engine.counter import KmerCounter
 
-    family = KmerCounter(k, codec)._uniform_family([max(0, syms_hint)])
+    counter = KmerCounter(k, codec)
+    family = counter._uniform_family([max(0, syms_hint)])
+    gap_family = counter._uniform_gap_family([max(0, gaps_hint)])
     t = threading.Thread(
-        target=_prewarm_uniform, args=(k, codec, min_count, family),
+        target=_prewarm_uniform,
+        args=(k, codec, min_count, family, gap_family),
         daemon=True,
     )
     _PREWARMS[key] = t
@@ -414,11 +419,12 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
         wave_cap_syms = 2 * counter._UNIFORM_SYMS
         wave_cap_files = 2 * counter._UNIFORM_FILES
 
-        # pin the uniform size family for the whole round from the FIRST
-        # wave's exact packed lengths (rounds are homogeneous), so every
-        # wave shares ONE program; dispatch upgrades per wave if a later
-        # file is bigger
+        # pin the uniform size + gap-slot families for the whole round
+        # from the FIRST wave's exact bounds (rounds are homogeneous), so
+        # every wave shares ONE program; dispatch upgrades per wave if a
+        # later file is bigger
         round_family: int | None = None
+        round_gap_family: int | None = None
 
         def fetch_wave() -> None:
             names, pendings = inflight_waves.popleft()
@@ -426,16 +432,19 @@ def _count_group(group: dict, counter: KmerCounter, min_count: int,
                 tables[name].append(tbl)
 
         def dispatch_wave() -> bool:
-            nonlocal wave, wave_syms, round_family
+            nonlocal wave, wave_syms, round_family, round_gap_family
             if not wave:
                 return True
             if round_family is None:
                 round_family = counter._uniform_family(
                     [s.packed_len(_REC_GAP) for _, _, s in wave]
                 )
+                round_gap_family = counter._uniform_gap_family(
+                    [counter._gap_bound(s) for _, _, s in wave]
+                )
             pendings = counter.dispatch_packed_uniform(
                 [s for _, _, s in wave], min_count, workers,
-                family=round_family,
+                family=round_family, gap_family=round_gap_family,
             )
             if pendings is None:  # rare mixed dense/sort edge: bail to adaptive
                 return False
@@ -694,6 +703,29 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
                     return 0
                 return int(sz * gz_mult) if str(p).endswith(".gz") else sz
 
+            def est_records(p, gz_mult: float) -> int:
+                """Record-count estimate: sample the first 64 KB, count
+                record markers, extrapolate by (decompressed) size. Picks
+                the uniform gap-slot family; a low estimate only costs one
+                extra compile (dispatch upgrades per wave)."""
+                try:
+                    if str(p).endswith(".gz"):
+                        with gzip.open(p, "rb") as f:
+                            head = f.read(65536)
+                    else:
+                        with open(p, "rb") as f:
+                            head = f.read(65536)
+                except OSError:
+                    return 0
+                if not head:
+                    return 0
+                total = est_syms(p, gz_mult)
+                if _file_ext(Path(p)) in FILE_EXT_FASTQ:
+                    dens = head.count(b"\n") / 4 / len(head)
+                else:
+                    dens = head.count(b">") / len(head)
+                return int(dens * total * 1.5) + 4
+
             nt_in = [p for p in inputs
                      if _file_ext(Path(p)) in FILE_EXT_NUCLEOTIDE
                      or _file_ext(Path(p)) in FILE_EXT_FASTQ]
@@ -701,16 +733,19 @@ def run_pipeline(cfg: PipelineConfig) -> Path:
                      if _file_ext(Path(p)) in FILE_EXT_PROTEIN]
             if nt_in:
                 _start_prewarm(cfg.kmer, DNA_CODEC, cfg.min_count,
-                               max(est_syms(p, 4.0) for p in nt_in))
+                               max(est_syms(p, 4.0) for p in nt_in),
+                               max(est_records(p, 4.0) for p in nt_in))
             if aa_in or cfg.prodigal or cfg.fgs:
                 hint = max((est_syms(p, 2.5) for p in aa_in), default=0)
+                ghint = max((est_records(p, 2.5) for p in aa_in), default=0)
                 if cfg.prodigal or cfg.fgs:
-                    hint = max(
-                        hint,
-                        max((est_syms(p, 4.0) for p in nt_in),
-                            default=0) // 3,
-                    )
-                _start_prewarm(cfg.kmer, PROTEIN_CODEC, cfg.min_count, hint)
+                    nt_syms = max((est_syms(p, 4.0) for p in nt_in),
+                                  default=0)
+                    hint = max(hint, nt_syms // 3)
+                    # ~1 gene/kb in prokaryotes -> one gap range per gene
+                    ghint = max(ghint, int(nt_syms / 1000 * 1.5) + 4)
+                _start_prewarm(cfg.kmer, PROTEIN_CODEC, cfg.min_count,
+                               hint, ghint)
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = []
             for path in inputs:

@@ -149,11 +149,12 @@ def test_pipeline_wave_salvage_falls_back(monkeypatch, tmp_path):
     calls = {"n": 0}
     orig = KmerCounter.dispatch_packed_uniform
 
-    def flaky(self, sources, min_count=1, workers=None, family=None):
+    def flaky(self, sources, min_count=1, workers=None, family=None,
+              gap_family=None):
         calls["n"] += 1
         if calls["n"] == 1:
             return None  # first wave bails -> salvage to adaptive
-        return orig(self, sources, min_count, workers, family)
+        return orig(self, sources, min_count, workers, family, gap_family)
 
     monkeypatch.setattr(KmerCounter, "dispatch_packed_uniform", flaky)
     rng = np.random.default_rng(3)
