@@ -453,7 +453,7 @@ def retrain(model: GeneModel, record_codes: list[np.ndarray],
 
 
 def call_genome(record_codes: list[np.ndarray],
-                iterations: int = 2) -> list[list[Gene]]:
+                iterations: int = 3) -> list[list[Gene]]:
     """Train + call over a genome's contigs with refinement iterations."""
     model = train_model(record_codes)
     called = [call_genes(model, _decode_stub(c)) for c in record_codes]
