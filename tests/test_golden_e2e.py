@@ -180,3 +180,20 @@ def test_golden_single_file_chunked(tmp_path):
     want = (GOLD / "DJ_gz-1" / "tsv_protein" / "DJ_pro_counts.tsv"
             ).read_bytes()
     assert got == want
+
+
+def test_golden_chunked_protein_folder(tmp_path):
+    """-s 1 over the protein folder (chunked faa, per-chunk filter):
+    byte-identical per-sample tables vs the golden faa-5genomes-1 tree."""
+    from mercat2_tpu.pipeline import PipelineConfig, run_pipeline
+
+    out = tmp_path / "faa1"
+    run_pipeline(PipelineConfig(
+        kmer=5, input_folder=str(DATA / "5-genomes-faa"), min_count=10,
+        chunk_size_mb=1, output=str(out),
+    ))
+    for s in SAMPLES_FAA:
+        got = (out / "tsv_protein" / f"{s}_counts.tsv").read_bytes()
+        want = (GOLD / "faa-5genomes-1" / "tsv_protein" / f"{s}_counts.tsv"
+                ).read_bytes()
+        assert got == want, s
