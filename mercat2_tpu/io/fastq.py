@@ -16,10 +16,12 @@ preprocessing), so this module provides native equivalents:
   vote — see :func:`_evaluate_adapter_consensus`), snapping consensus
   hits onto the known Illumina adapters and keeping a known-adapter
   prefix probe as a low-frequency fallback (pass ``adapter=`` to pin a
-  sequence, ``adapter=None`` to disable). On adapter-free inputs the
-  output is identical to fastp's — verified byte-for-byte against the
-  reference's fastp run on Test_R1.fastq
-  (results/2023-11-29/test-qc/clean/Test_R1.fna.gz),
+  sequence, ``adapter=None`` to disable). Behavior is pinned to fastp's
+  documented SE defaults in tests/test_fastq_orf.py (note: the reference's
+  golden test-qc tree was produced WITHOUT fastp installed — its 0.05 s
+  load proves trimming was skipped — so clean/Test_R1.fna.gz there is the
+  raw conversion; with fastp present the reference would drop the same
+  8-N read we drop),
 - :func:`fq2fa` converts records 1:1 to a gzipped FASTA, exactly like the
   reference's ``sed -n '1~4s/^@/>/p;2~4p'`` pipeline.
 
