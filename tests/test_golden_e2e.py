@@ -197,3 +197,24 @@ def test_golden_chunked_protein_folder(tmp_path):
         want = (GOLD / "faa-5genomes-1" / "tsv_protein" / f"{s}_counts.tsv"
                 ).read_bytes()
         assert got == want, s
+
+
+def test_golden_fastq_tree_skipclean(tmp_path):
+    """The golden test-qc tree was produced WITHOUT fastp installed (the
+    reference warns and skips trimming when the tool is missing), i.e.
+    the raw fastq->fasta conversion fed the counter. `-skipclean`
+    reproduces that state byte-for-byte: the converted fasta and the k=5
+    count TSV both match the goldens."""
+    from mercat2_tpu.pipeline import PipelineConfig, run_pipeline
+
+    out = tmp_path / "qc"
+    run_pipeline(PipelineConfig(
+        kmer=5, input_files=[str(DATA / "Test_R1.fastq")], min_count=10,
+        chunk_size_mb=100, output=str(out), skipclean=True,
+    ))
+    gold = GOLD / "test-qc"
+    got = gzip.decompress((out / "clean" / "Test_R1.fna.gz").read_bytes())
+    want = gzip.decompress((gold / "clean" / "Test_R1.fna.gz").read_bytes())
+    assert got == want
+    f = "tsv_nucleotide/Test_R1_counts.tsv"
+    assert (out / f).read_bytes() == (gold / f).read_bytes()
