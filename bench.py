@@ -92,39 +92,83 @@ def _count_cold(files: list[Path], k: int) -> tuple[int, int, float]:
     import numpy as np
 
     t0 = time.perf_counter()
-    # gzip + parse in threads (the C++ parser releases the GIL); the
-    # dispatcher then forms adaptive launch groups and dispatches them
-    # back-to-back so later groups' host build overlaps earlier groups'
-    # device compute. One codec per run; the min-count filter stays per
-    # file (ref lib/mercat2_kmers.py:73-76).
+    # gzip + parse in threads (the C++ parser releases the GIL), and
+    # dispatch uniform waves AS FILES ARRIVE so the h2d stream starts
+    # ~0.05 s in instead of after the full 0.3 s parse prefix. One codec
+    # per run (bail to the gather-everything path if a later file's
+    # alphabet does not fit the first file's codec); size families are
+    # pinned by the first wave; the min-count filter stays per file
+    # (ref lib/mercat2_kmers.py:73-76).
     pool = ThreadPoolExecutor(max_workers=min(16, len(files)))
     futs = [pool.submit(open_fasta_native, f) for f in files]
     sources = []
-    alpha = np.zeros(0, np.uint8)
+    counter = None
+    pendings: list = []
+    wave: list = []
+    family = gap_family = None
+    streaming = True
+
+    def dispatch(batch) -> bool:
+        nonlocal family, gap_family
+        if not batch:
+            return True
+        if family is None:
+            from mercat2_tpu.engine.counter import _REC_GAP
+
+            family = counter._uniform_family(
+                [s.packed_len(_REC_GAP) for s in batch])
+            gap_family = counter._uniform_gap_family(
+                [counter._gap_bound(s) for s in batch])
+        p = counter.dispatch_packed_uniform(
+            batch, MIN_COUNT, workers=4, family=family,
+            gap_family=gap_family,
+        )
+        if p is None:
+            return False
+        pendings.extend(p)
+        return True
+
     for fut in futs:
         s = fut.result()
         assert s is not None, "build native/ first"
         sources.append(s)
-        alpha = np.union1d(alpha, s.alphabet())
-    counter = KmerCounter(k, codec_for_alphabet(alpha.astype(np.uint8)))
-    pendings = None
-    if counter.packable():
-        # uniform fixed-shape launches (the pipeline's count path): ONE
-        # compiled program for the whole run — the adaptive segments path
-        # compiles a distinct program per launch-group shape (~12 of them
-        # on the sustained set, 40-100 s each per process on the tunnel)
-        pendings = counter.dispatch_packed_uniform(
-            sources, MIN_COUNT, workers=4
-        )
-        if pendings is None:
-            pendings = counter.dispatch_packed_sources(
+        if not streaming:
+            continue
+        if counter is None:
+            codec = codec_for_alphabet(s.alphabet())
+            counter = KmerCounter(k, codec)
+            streaming = counter.packable()
+        elif codec_for_alphabet(
+            s.alphabet(), prefer=counter.codec
+        ) is not counter.codec:
+            streaming = False
+        if streaming:
+            wave.append(s)
+            if len(wave) >= 8:
+                streaming = dispatch(wave)
+                wave = []
+    if streaming:
+        streaming = dispatch(wave)
+    if not streaming:
+        # gather-everything fallback: union codec over all alphabets
+        alpha = np.zeros(0, np.uint8)
+        for s in sources:
+            alpha = np.union1d(alpha, s.alphabet())
+        counter = KmerCounter(k, codec_for_alphabet(alpha.astype(np.uint8)))
+        pendings = None
+        if counter.packable():
+            pendings = counter.dispatch_packed_uniform(
                 sources, MIN_COUNT, workers=4
             )
-    else:
-        streams = [counter.build_stream_native(s) for s in sources]
-        pendings = counter.dispatch_streams(
-            [st for st in streams if st is not None], MIN_COUNT
-        )
+            if pendings is None:
+                pendings = counter.dispatch_packed_sources(
+                    sources, MIN_COUNT, workers=4
+                )
+        else:
+            streams = [counter.build_stream_native(s) for s in sources]
+            pendings = counter.dispatch_streams(
+                [st for st in streams if st is not None], MIN_COUNT
+            )
     n_kmers = sum(len(t) for t in fetch_tables(pendings))
     dt = time.perf_counter() - t0
     total = sum(s.seq_len for s in sources)
